@@ -1,0 +1,65 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding correctness is proven on
+host-platform virtual devices (the same XLA SPMD partitioner as real TPU),
+mirroring the reference's pattern of validating its 3-GPU decomposition on a
+single host against the scalar oracle (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from wrf_tpu.grid import ConfigFlags  # noqa: E402
+from wrf_tpu.io import fixtures  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_case():
+    """Small deterministic case used across tiers (fast: 20×18×8)."""
+    return fixtures.make_case(20, 18, 8, halo=2, seed=7)
+
+
+@pytest.fixture(scope="session")
+def reference_size_case():
+    """The reference fixture grid: 74×61×32 (BASELINE.md)."""
+    return fixtures.make_case(74, 61, 32, halo=3, seed=2026)
+
+
+@pytest.fixture(scope="session")
+def periodic_case():
+    return fixtures.make_case(
+        20, 18, 8, halo=2, seed=11,
+        flags=ConfigFlags(periodic_x=True, specified=True),
+    )
+
+
+@pytest.fixture(scope="session")
+def open_bc_case():
+    """No BC shrink at all (not specified/nested)."""
+    return fixtures.make_case(
+        20, 18, 8, halo=2, seed=13,
+        flags=ConfigFlags(periodic_x=False, specified=False, nested=False),
+    )
+
+
+def outputs_allclose(a: dict, b: dict, rtol=2e-5, atol_scale=1e-6, fields=None):
+    """Assert two output dicts agree within fp32 tolerances.
+
+    ``atol`` is scaled per field to ``atol_scale * max|golden|`` — reduction
+    reassociation produces absolute errors proportional to the *field* scale,
+    which near-zero elements turn into arbitrarily large relative errors."""
+    for name in fields or a.keys():
+        x, y = np.asarray(a[name]), np.asarray(b[name])
+        scale = float(np.abs(y).max()) if y.size else 1.0
+        np.testing.assert_allclose(
+            x, y, rtol=rtol, atol=atol_scale * max(scale, 1.0),
+            err_msg=f"field {name}",
+        )

@@ -1,0 +1,200 @@
+"""ctypes bindings for the native (C++) tier.
+
+The native library is the framework's compiled scalar oracle — the role the
+C99 port plays in the reference (advance_mu_t.c).  It is built on demand via
+the Makefile in this directory; the binding exposes the kernel and the
+comparator suite with numpy-array ergonomics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..grid import ConfigFlags, GridBounds
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libwrf_tpu_native.so"
+_lib = None
+
+
+class _Window(ctypes.Structure):
+    _fields_ = [
+        ("jdim", ctypes.c_int32),
+        ("kdim", ctypes.c_int32),
+        ("idim", ctypes.c_int32),
+        ("i0", ctypes.c_int32),
+        ("i1", ctypes.c_int32),
+        ("j0", ctypes.c_int32),
+        ("j1", ctypes.c_int32),
+        ("k0", ctypes.c_int32),
+        ("k1", ctypes.c_int32),
+        ("kde", ctypes.c_int32),
+    ]
+
+
+class _CompareResult(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("equal", ctypes.c_int64),
+        ("different", ctypes.c_int64),
+        ("max_rel_err", ctypes.c_float),
+        ("max_abs_err", ctypes.c_float),
+        ("max_ulp", ctypes.c_int64),
+        ("rmse", ctypes.c_double),
+        ("nan_seen", ctypes.c_int64),
+    ]
+
+
+def build(force: bool = False) -> Path:
+    """Build the native library with make (idempotent)."""
+    if force or not _LIB_PATH.exists():
+        subprocess.run(["make", "-s", "libwrf_tpu_native.so"], cwd=_DIR, check=True)
+    return _LIB_PATH
+
+
+def _get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        build()
+        _lib = ctypes.CDLL(str(_LIB_PATH))
+        fp = ctypes.POINTER(ctypes.c_float)
+        _lib.wrf_advance_mu_t.restype = ctypes.c_int32
+        _lib.wrf_advance_mu_t.argtypes = (
+            [ctypes.POINTER(_Window)]
+            + [fp] * 18
+            + [ctypes.c_float] * 4
+            + [fp] * 8
+        )
+        _lib.wrf_compare.restype = None
+        _lib.wrf_compare.argtypes = [fp, fp, ctypes.c_int64,
+                                     ctypes.POINTER(_CompareResult)]
+        _lib.wrf_float_ulps.restype = ctypes.c_int64
+        _lib.wrf_float_ulps.argtypes = [ctypes.c_float, ctypes.c_float]
+    return _lib
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _c_contig_f32(a: np.ndarray, name: str, writable: bool = False) -> np.ndarray:
+    out = np.ascontiguousarray(a, dtype=np.float32)
+    if writable and out is a:
+        out = out.copy()
+    return out
+
+
+def advance_mu_t_native(
+    *,
+    ww: np.ndarray,
+    ww_1: np.ndarray,
+    u: np.ndarray,
+    u_1: np.ndarray,
+    v: np.ndarray,
+    v_1: np.ndarray,
+    mu: np.ndarray,
+    mut: np.ndarray,
+    muu: np.ndarray,
+    muv: np.ndarray,
+    t: np.ndarray,
+    t_1: np.ndarray,
+    t_ave: np.ndarray,
+    ft: np.ndarray,
+    mu_tend: np.ndarray,
+    rdx: float,
+    rdy: float,
+    dts: float,
+    epssm: float,
+    dnw: np.ndarray,
+    fnm: np.ndarray,
+    fnp: np.ndarray,
+    rdnw: np.ndarray,
+    msfuy: np.ndarray,
+    msfvx_inv: np.ndarray,
+    msftx: np.ndarray,
+    msfty: np.ndarray,
+    flags: ConfigFlags,
+    bounds: GridBounds,
+) -> dict[str, np.ndarray]:
+    """Run the native scalar kernel; same contract as
+    :func:`wrf_tpu.ops.reference_numpy.advance_mu_t_numpy` (functional —
+    inputs are not mutated)."""
+    lib = _get_lib()
+    i0, i1, j0, j1, k0, k1 = bounds.loop_bounds(flags)
+    w = _Window(
+        jdim=bounds.jdim, kdim=bounds.kdim, idim=bounds.idim,
+        i0=i0, i1=i1, j0=j0, j1=j1, k0=k0, k1=k1,
+        kde=bounds.mem(bounds.kde, "k"),
+    )
+
+    ww_o = _c_contig_f32(ww, "ww", writable=True)
+    mu_o = _c_contig_f32(mu, "mu", writable=True)
+    t_o = _c_contig_f32(t, "t", writable=True)
+    t_ave_o = _c_contig_f32(t_ave, "t_ave", writable=True)
+    muave_o = np.zeros_like(mu_o)
+    muts_o = np.zeros_like(mu_o)
+    mudf_o = np.zeros_like(mu_o)
+
+    ins = {
+        name: _c_contig_f32(arr, name)
+        for name, arr in dict(
+            ww_1=ww_1, u=u, u_1=u_1, v=v, v_1=v_1, mut=mut, muu=muu, muv=muv,
+            t_1=t_1, ft=ft, mu_tend=mu_tend, dnw=dnw, fnm=fnm, fnp=fnp,
+            rdnw=rdnw, msfuy=msfuy, msfvx_inv=msfvx_inv, msftx=msftx,
+            msfty=msfty,
+        ).items()
+    }
+
+    rc = lib.wrf_advance_mu_t(
+        ctypes.byref(w),
+        _fp(ww_o), _fp(ins["ww_1"]), _fp(ins["u"]), _fp(ins["u_1"]),
+        _fp(ins["v"]), _fp(ins["v_1"]),
+        _fp(mu_o), _fp(ins["mut"]), _fp(muave_o), _fp(muts_o),
+        _fp(ins["muu"]), _fp(ins["muv"]),
+        _fp(mudf_o), _fp(t_o), _fp(ins["t_1"]),
+        _fp(t_ave_o), _fp(ins["ft"]), _fp(ins["mu_tend"]),
+        ctypes.c_float(rdx), ctypes.c_float(rdy),
+        ctypes.c_float(dts), ctypes.c_float(epssm),
+        _fp(ins["dnw"]), _fp(ins["fnm"]), _fp(ins["fnp"]), _fp(ins["rdnw"]),
+        _fp(ins["msfuy"]), _fp(ins["msfvx_inv"]),
+        _fp(ins["msftx"]), _fp(ins["msfty"]),
+    )
+    if rc != 0:
+        raise RuntimeError(f"wrf_advance_mu_t failed with rc={rc}")
+    return {
+        "ww": ww_o, "mu": mu_o, "muave": muave_o, "muts": muts_o,
+        "mudf": mudf_o, "t": t_o, "t_ave": t_ave_o,
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class NativeCompare:
+    n: int
+    equal: int
+    different: int
+    max_rel_err: float
+    max_abs_err: float
+    max_ulp: int
+    rmse: float
+    nan_seen: int
+
+
+def compare_native(actual: np.ndarray, golden: np.ndarray) -> NativeCompare:
+    """Run the native comparator suite (used to cross-check the Python one)."""
+    lib = _get_lib()
+    a = np.ascontiguousarray(actual, dtype=np.float32).ravel()
+    g = np.ascontiguousarray(golden, dtype=np.float32).ravel()
+    if a.size != g.size:
+        raise ValueError("size mismatch")
+    res = _CompareResult()
+    lib.wrf_compare(_fp(a), _fp(g), a.size, ctypes.byref(res))
+    return NativeCompare(
+        n=res.n, equal=res.equal, different=res.different,
+        max_rel_err=res.max_rel_err, max_abs_err=res.max_abs_err,
+        max_ulp=res.max_ulp, rmse=res.rmse, nan_seen=res.nan_seen,
+    )
