@@ -1,0 +1,84 @@
+"""L3 parallel tests: shard_map 2-D decomposition on a virtual 8-device mesh.
+
+Pattern copied from the reference's validation of its 3-GPU decomposition:
+the reassembled global result of the N-device run must match the single-tile
+scalar oracle on the same host (SURVEY.md §4 'Multi-device without a
+cluster')."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import outputs_allclose
+from wrf_tpu.grid import ConfigFlags
+from wrf_tpu.io import fixtures
+from wrf_tpu.native import advance_mu_t_native
+from wrf_tpu.parallel.mesh import factor_near_square, make_mesh
+from wrf_tpu.parallel.sharded import (
+    ShardedAdvanceMuT, case_to_domain, embed_domain,
+)
+
+
+def run_native_steps(case, steps):
+    kw = case.kernel_kwargs()
+    state = {k: kw[k] for k in ("ww", "mu", "t", "t_ave")}
+    out = dict(state)
+    for _ in range(steps):
+        out = advance_mu_t_native(**{**kw, **state})
+        state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
+    return out
+
+
+def sharded_vs_oracle(case, mesh_shape, steps=1, **tol):
+    mesh = make_mesh(jax.devices()[: mesh_shape[0] * mesh_shape[1]], mesh_shape)
+    nx, ny = case.bounds.ide, case.bounds.jde
+    nz = case.bounds.kdim
+    step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags, n_steps=steps)
+    dom = case_to_domain(case)
+    arrays = step.prepare(dom)
+    got_dom = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+
+    gold = run_native_steps(case, steps)
+    got = {}
+    for name, val in got_dom.items():
+        like = case.kernel_kwargs()[name] if name in ("ww", "mu", "t", "t_ave") \
+            else np.zeros_like(gold[name])
+        got[name] = embed_domain(np.asarray(val), like, case.bounds)
+    outputs_allclose(got, gold, **tol)
+
+
+def test_mesh_factorization():
+    assert factor_near_square(8) == (4, 2)
+    assert factor_near_square(6) == (3, 2)
+    assert factor_near_square(7) == (7, 1)
+    assert factor_near_square(16) == (4, 4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8), (2, 2)])
+def test_sharded_matches_oracle(small_case, mesh_shape):
+    """2-D (j,i) decomposition reassembles to the scalar oracle's result."""
+    sharded_vs_oracle(small_case, mesh_shape, steps=1)
+
+
+def test_sharded_periodic(periodic_case):
+    sharded_vs_oracle(periodic_case, (2, 4), steps=1)
+
+
+def test_sharded_open_bc(open_bc_case):
+    sharded_vs_oracle(open_bc_case, (4, 2), steps=1)
+
+
+def test_sharded_multi_step_scan(small_case):
+    """Device-resident 10-step scan matches 10 oracle iterations."""
+    sharded_vs_oracle(small_case, (4, 2), steps=10, rtol=5e-5, atol_scale=2e-6)
+
+
+def test_sharded_indivisible_domain():
+    """Domain not divisible by the mesh: zero-padding + masks handle it."""
+    case = fixtures.make_case(19, 13, 6, halo=2, seed=21)
+    sharded_vs_oracle(case, (4, 2), steps=1)
+
+
+def test_sharded_reference_size(reference_size_case):
+    """74x61x32 on 8 virtual devices (BASELINE configs[3] pattern)."""
+    sharded_vs_oracle(reference_size_case, (4, 2), steps=1)

@@ -58,8 +58,7 @@ def _shift_p1(a: jax.Array, axis: int) -> jax.Array:
     return jnp.roll(a, -1, axis=axis)
 
 
-@functools.partial(jax.jit, static_argnames=("k0", "k1", "kde"))
-def advance_mu_t_core(
+def advance_mu_t_impl(
     *,
     ww: jax.Array,        # (j, k, i)  in/out — small-step omega
     ww_1: jax.Array,      # (j, k, i)  in     — large-step omega (coupled)
@@ -181,6 +180,12 @@ def advance_mu_t_core(
         "t": t_out,
         "t_ave": t_ave_out,
     }
+
+
+#: jitted entry point (k bounds are compile-time constants)
+advance_mu_t_core = jax.jit(
+    advance_mu_t_impl, static_argnames=("k0", "k1", "kde")
+)
 
 
 def _k_window(ref3: jax.Array, k0: int, k1: int) -> jax.Array:
