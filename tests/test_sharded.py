@@ -29,11 +29,12 @@ def run_native_steps(case, steps):
     return out
 
 
-def sharded_vs_oracle(case, mesh_shape, steps=1, **tol):
+def sharded_vs_oracle(case, mesh_shape, steps=1, kernel="xla", **tol):
     mesh = make_mesh(jax.devices()[: mesh_shape[0] * mesh_shape[1]], mesh_shape)
     nx, ny = case.bounds.ide, case.bounds.jde
     nz = case.bounds.kdim
-    step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags, n_steps=steps)
+    step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             kernel=kernel)
     dom = case_to_domain(case)
     arrays = step.prepare(dom)
     got_dom = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)
@@ -54,31 +55,45 @@ def test_mesh_factorization():
     assert factor_near_square(16) == (4, 4)
 
 
+KERNELS = ["xla", "pallas"]
+
+
+@pytest.mark.parametrize("kernel", KERNELS)
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8), (2, 2)])
-def test_sharded_matches_oracle(small_case, mesh_shape):
+def test_sharded_matches_oracle(small_case, mesh_shape, kernel):
     """2-D (j,i) decomposition reassembles to the scalar oracle's result."""
-    sharded_vs_oracle(small_case, mesh_shape, steps=1)
+    sharded_vs_oracle(small_case, mesh_shape, steps=1, kernel=kernel)
 
 
-def test_sharded_periodic(periodic_case):
-    sharded_vs_oracle(periodic_case, (2, 4), steps=1)
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_sharded_periodic(periodic_case, kernel):
+    sharded_vs_oracle(periodic_case, (2, 4), steps=1, kernel=kernel)
 
 
-def test_sharded_open_bc(open_bc_case):
-    sharded_vs_oracle(open_bc_case, (4, 2), steps=1)
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_sharded_open_bc(open_bc_case, kernel):
+    sharded_vs_oracle(open_bc_case, (4, 2), steps=1, kernel=kernel)
 
 
-def test_sharded_multi_step_scan(small_case):
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_sharded_multi_step_scan(small_case, kernel):
     """Device-resident 10-step scan matches 10 oracle iterations."""
-    sharded_vs_oracle(small_case, (4, 2), steps=10, rtol=5e-5, atol_scale=2e-6)
+    sharded_vs_oracle(small_case, (4, 2), steps=10, kernel=kernel,
+                      rtol=5e-5, atol_scale=2e-6)
 
 
-def test_sharded_indivisible_domain():
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_sharded_indivisible_domain(kernel):
     """Domain not divisible by the mesh: zero-padding + masks handle it."""
     case = fixtures.make_case(19, 13, 6, halo=2, seed=21)
-    sharded_vs_oracle(case, (4, 2), steps=1)
+    sharded_vs_oracle(case, (4, 2), steps=1, kernel=kernel)
 
 
 def test_sharded_reference_size(reference_size_case):
     """74x61x32 on 8 virtual devices (BASELINE configs[3] pattern)."""
     sharded_vs_oracle(reference_size_case, (4, 2), steps=1)
+
+
+def test_sharded_single_device_pallas(small_case):
+    """mesh (1,1) — the single-chip bench path."""
+    sharded_vs_oracle(small_case, (1, 1), steps=3, kernel="pallas")

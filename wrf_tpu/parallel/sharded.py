@@ -15,7 +15,17 @@ j-slab bounds on the host and stages 3-row halos through ``cudaMemcpy``, here:
     this replaces the reference's per-GPU ``jds_g/jts_g/jde_g/jte_g`` bound
     synthesis (advance_mu_t_no_async.cu:108-162);
   * the vertical dimension stays chip-local (column reduction + scan), the
-    decomposition the reference also chose (one thread owns a full column).
+    decomposition the reference also chose (one thread owns a full column);
+  * the compute kernel is either the fused Pallas kernel (default on TPU)
+    or the pure-XLA path — both run on identical halo-padded local blocks.
+
+Multi-step structure: halo construction is hoisted OUT of the device-resident
+``lax.scan``.  advance_mu_t never reads neighbor values of its in/out fields
+(SURVEY.md §3.4 — all neighbor reads are of constant inputs), so one exchange
+before the loop is exact; the carried state keeps its (stale, never-read,
+masked) halo rows and only the final interior is returned.  When the
+surrounding acoustic loop later updates the winds per step (advance_uv),
+per-step exchange of just those fields slots into the scan body.
 
 Arrays here are *ring-shaped*: the staggered domain extents plus a 1-cell
 boundary ring, ``(jde+2, kdim, ide+2)``.  The ring carries caller-provided
@@ -37,6 +47,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..grid import ConfigFlags, GridBounds
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
+from ..ops.advance_mu_t_pallas import _pick_tj, advance_mu_t_pallas
 from . import halo
 from .mesh import replicated, sharding2, sharding3
 
@@ -49,7 +60,6 @@ FIELDS_2D = ("mu", "mut", "muu", "muv", "mu_tend",
 FIELDS_1D = ("dnw", "fnm", "fnp", "rdnw")
 SCALARS = ("rdx", "rdy", "dts", "epssm")
 STATE_KEYS = ("ww", "mu", "t", "t_ave")  # carried between small steps
-
 
 #: width of the caller-provided global boundary ring carried by sharded state
 RING = 1
@@ -76,64 +86,26 @@ def pad_to_mesh(x: np.ndarray | jax.Array, mesh: Mesh) -> jax.Array:
     return jnp.asarray(x, F)
 
 
-def _local_masks(window, nj_loc: int, ni_loc: int):
-    """Window masks for this shard's halo-padded block, from global offsets."""
-    i0, i1, j0, j1, _, _ = window
-    j_start = jax.lax.axis_index("j") * nj_loc - 1  # -1: halo row
-    i_start = jax.lax.axis_index("i") * ni_loc - 1
-    j_idx = j_start + jnp.arange(nj_loc + 2)
-    i_idx = i_start + jnp.arange(ni_loc + 2)
-    return (i_idx >= i0) & (i_idx <= i1), (j_idx >= j0) & (j_idx <= j1)
-
-
-def _step_local(window, k0, k1, kde, mesh, arrs: dict[str, jax.Array],
-                scalars: dict[str, jax.Array]) -> dict[str, jax.Array]:
-    """Per-shard body: halo-exchange inputs, run the masked core, return
-    owned interiors.  Runs inside shard_map."""
-    j_sh = mesh.shape["j"] > 1
-    i_sh = mesh.shape["i"] > 1
-    padded: dict[str, jax.Array] = {}
-    for name in FIELDS_3D:
-        padded[name] = halo.halo3(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
-    for name in FIELDS_2D:
-        padded[name] = halo.halo2(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
-    for name in FIELDS_1D:
-        padded[name] = arrs[name]
-
-    nj_loc, _, ni_loc = arrs["ww"].shape
-    i_mask, j_mask = _local_masks(window, nj_loc, ni_loc)
-
-    out = advance_mu_t_impl(
-        i_mask=i_mask, j_mask=j_mask, k0=k0, k1=k1, kde=kde,
-        **padded, **scalars,
-    )
-    res = {}
-    for name, val in out.items():
-        if val.ndim == 3:
-            res[name] = val[1:-1, :, 1:-1]
-        else:
-            res[name] = val[1:-1, 1:-1]
-    return res
-
-
 class ShardedAdvanceMuT:
-    """Compiled SPMD small-step over a device mesh.
+    """Compiled SPMD small-step loop over a device mesh.
 
-    Build once per (mesh, domain, flags); call with domain-shaped global
-    arrays.  ``n_steps > 1`` runs a device-resident ``lax.scan`` over the
-    carried state (ww, mu, t, t_ave) without returning to host — the
+    Build once per (mesh, domain, flags, n_steps); call with ring-shaped
+    global arrays.  ``n_steps > 1`` runs a device-resident ``lax.scan`` over
+    the carried state (ww, mu, t, t_ave) without returning to host — the
     multi-step capability the reference's one-launch design lacks
     (SURVEY.md §2 'Distributed communication backend').
+
+    ``kernel``: "pallas" (fused single-pass kernel; default) or "xla".
+    ``vary_winds`` rescales u/v by (1 + 1e-7*step) each step — the full
+    acoustic loop updates the winds every small step (advance_uv), so
+    benchmarks set this to keep XLA from hoisting the physics out of the
+    scan.  The Pallas path folds the scale into the kernel's loads.
     """
 
     def __init__(self, mesh: Mesh, nx: int, ny: int, nz: int,
                  flags: ConfigFlags, n_steps: int = 1,
-                 vary_winds: bool = False):
-        """``vary_winds`` rescales u/v by (1 + 1e-7*step) inside the scan.
-        In the full acoustic loop the winds are updated by advance_uv every
-        small step; iterating advance_mu_t alone with frozen winds lets XLA
-        hoist most of the physics out of the loop.  Benchmarks set this so
-        the measured per-step work matches the real loop's data flow."""
+                 kernel: str = "pallas", vary_winds: bool = False,
+                 tj: int | None = None, interpret: bool | None = None):
         self.mesh = mesh
         self.flags = flags
         self.domain = (nx, ny, nz)
@@ -141,13 +113,13 @@ class ShardedAdvanceMuT:
         window = domain_window(nx, ny, nz, flags)
         self.window = window
         k0, k1 = window[4], window[5]
-        kde = nz - 1
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
 
         s3, s2, rep = sharding3(mesh), sharding2(mesh), replicated(mesh)
         self.shardings = {**{n: s3 for n in FIELDS_3D},
                           **{n: s2 for n in FIELDS_2D},
-                          **{n: rep for n in FIELDS_1D},
-                          **{n: rep for n in SCALARS}}
+                          **{n: rep for n in FIELDS_1D}}
 
         in_specs = ({n: self.shardings[n].spec for n in
                      FIELDS_3D + FIELDS_2D + FIELDS_1D},
@@ -155,37 +127,94 @@ class ShardedAdvanceMuT:
         out_specs = {n: (P("j", None, "i") if n in
                          ("ww", "t", "t_ave") else P("j", "i"))
                      for n in ("ww", "mu", "muave", "muts", "mudf", "t", "t_ave")}
+        j_shards, i_shards = mesh.shape["j"], mesh.shape["i"]
 
-        local = functools.partial(_step_local, window, k0, k1, kde, mesh)
-        sharded_step = jax.shard_map(
-            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        def local_loop(arrs: dict[str, jax.Array], scalars: dict[str, jax.Array]):
+            """Whole multi-step loop for one shard (runs under shard_map)."""
+            nj_loc, K, ni_loc = arrs["ww"].shape
+            j_sh, i_sh = j_shards > 1, i_shards > 1
+
+            # ---- one-time halo construction (ppermute over ICI) --------
+            padded: dict[str, jax.Array] = {}
+            for name in FIELDS_3D:
+                padded[name] = halo.halo3(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
+            for name in FIELDS_2D:
+                padded[name] = halo.halo2(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
+            for name in FIELDS_1D:
+                padded[name] = arrs[name]
+
+            # pallas wants (J-2) % tj == 0: pad once, outside the loop
+            tj_loc = tj or _pick_tj(K, ni_loc + 2)
+            padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
+            if padj:
+                for name in FIELDS_3D:
+                    padded[name] = jnp.pad(padded[name], ((0, padj), (0, 0), (0, 0)))
+                for name in FIELDS_2D:
+                    padded[name] = jnp.pad(padded[name], ((0, padj), (0, 0)))
+            Jl = nj_loc + 2 + padj
+
+            # this shard's padded-local-row 0 in global ring coordinates
+            j_off = jax.lax.axis_index("j") * nj_loc - 1
+            i_off = jax.lax.axis_index("i") * ni_loc - 1
+            i0, i1, j0, j1 = window[:4]
+
+            if kernel == "pallas":
+                def step_fn(ins, wscale):
+                    return advance_mu_t_pallas(
+                        **ins, **scalars,
+                        window=(i0, i1, j0, j1), offsets=(j_off, i_off),
+                        wind_scale=wscale, k0=k0, k1=k1, kde=nz - 1,
+                        tj=tj_loc, interpret=interpret,
+                    )
+            else:
+                i_idx = i_off + jnp.arange(ni_loc + 2)
+                j_idx = j_off + jnp.arange(Jl)
+                i_mask = (i_idx >= i0) & (i_idx <= i1)
+                j_mask = (j_idx >= j0) & (j_idx <= j1)
+
+                def step_fn(ins, wscale):
+                    ins = {**ins, "u": ins["u"] * wscale, "v": ins["v"] * wscale}
+                    return advance_mu_t_impl(
+                        **ins, **scalars, i_mask=i_mask, j_mask=j_mask,
+                        k0=k0, k1=k1, kde=nz - 1,
+                    )
+
+            const = {k: v for k, v in padded.items() if k not in STATE_KEYS}
+            state0 = {k: padded[k] for k in STATE_KEYS}
+
+            def wscale_at(n):
+                if not vary_winds:
+                    return jnp.float32(1.0)
+                return jnp.float32(1.0) + jnp.float32(1e-7) * n.astype(F)
+
+            if n_steps > 1:
+                def body(state, n):
+                    out = step_fn({**const, **state}, wscale_at(n))
+                    return {k: out[k] for k in STATE_KEYS}, None
+
+                state, _ = jax.lax.scan(body, state0, jnp.arange(n_steps - 1))
+            else:
+                state = state0
+            out = step_fn({**const, **state},
+                          wscale_at(jnp.asarray(n_steps - 1)))
+
+            # drop halo rows/cols and pallas padding -> owned interior
+            res = {}
+            for name, val in out.items():
+                if val.ndim == 3:
+                    res[name] = val[1 : 1 + nj_loc, :, 1 : 1 + ni_loc]
+                else:
+                    res[name] = val[1 : 1 + nj_loc, 1 : 1 + ni_loc]
+            return res
+
+        sharded_loop = jax.shard_map(
+            local_loop, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
-
-        def run_full(arrs, scalars):
-            """Device-resident multi-step: scan n-1 steps over the carried
-            state, then one explicit step so the pure 2-D outputs
-            (muave/muts/mudf) of the *last* step are returned."""
-            if n_steps == 1:
-                return sharded_step(arrs, scalars)
-            const = {k: v for k, v in arrs.items() if k not in STATE_KEYS}
-
-            def body(state, step_idx):
-                ins = {**const, **state}
-                if vary_winds:
-                    scale = F(1.0) + F(1e-7) * step_idx.astype(F)
-                    ins = {**ins, "u": ins["u"] * scale, "v": ins["v"] * scale}
-                out = sharded_step(ins, scalars)
-                return {k: out[k] for k in STATE_KEYS}, None
-
-            state0 = {k: arrs[k] for k in STATE_KEYS}
-            state, _ = jax.lax.scan(body, state0, jnp.arange(n_steps - 1))
-            return sharded_step({**const, **state}, scalars)
-
-        self._run = jax.jit(run_full)
+        self._run = jax.jit(sharded_loop)
 
     def prepare(self, arrays: dict[str, np.ndarray]) -> dict[str, jax.Array]:
-        """Pad domain-shaped arrays to mesh-divisible sizes and place them
+        """Pad ring-shaped arrays to mesh-divisible sizes and place them
         with the step's shardings."""
         out = {}
         for name in FIELDS_3D + FIELDS_2D:
@@ -214,7 +243,7 @@ class ShardedAdvanceMuT:
 
 
 # ---------------------------------------------------------------------- #
-# Memory-window <-> domain-shaped conversion (fixture interop)
+# Memory-window <-> ring-shaped conversion (fixture interop)
 # ---------------------------------------------------------------------- #
 def case_to_domain(case) -> dict[str, np.ndarray]:
     """Extract ring-shaped arrays (staggered extents + the 1-cell boundary
