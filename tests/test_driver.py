@@ -1,0 +1,49 @@
+"""L4 tests: the Python CLI verification driver."""
+
+import numpy as np
+
+from wrf_tpu import driver
+from wrf_tpu.io import codec, fixtures
+
+
+def test_driver_numpy_tier(tmp_path, small_case, capsys):
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=2)
+    rc = driver.main([str(d), "--tier", "numpy"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("max_ulp=0") == 7  # bit-exact on every field
+    assert "grid-points/s" in out
+
+
+def test_driver_xla_tier(tmp_path, small_case, capsys):
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=2)
+    rc = driver.main([str(d), "--tier", "xla"])
+    assert rc == 0
+
+
+def test_driver_steps_override_fails(tmp_path, small_case, capsys):
+    """Wrong step count must be detected by the comparators."""
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=3)
+    rc = driver.main([str(d), "--tier", "numpy", "--steps", "1"])
+    assert rc == 1
+    assert "FAILED" in capsys.readouterr().out
+
+
+def test_driver_dump_intermediates(tmp_path, small_case):
+    """The *_before_theta capture mode (reference:
+    module_small_step_em.f90:175-189) writes phase-A fields that match the
+    final mu-phase outputs (advance_mu_t never revisits them in phase B)."""
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=1)
+    dump = tmp_path / "dump"
+    rc = driver.main([str(d), "--tier", "xla", "--dump-intermediates", str(dump)])
+    assert rc == 0
+    b = small_case.bounds
+    golden = fixtures.read_golden(d, b)
+    mu_cap = codec.read_field(dump / "mu_before_theta.bin", b.shape2)
+    # XLA reassociates the k reduction -> allclose, not bitwise, vs native
+    np.testing.assert_allclose(mu_cap, golden["mu"], atol=1e-4)
+    ww_cap = codec.read_field(dump / "ww_before_theta.bin", b.shape3)
+    np.testing.assert_allclose(ww_cap, golden["ww"], atol=1e-5)
+    assert (dump / "muave_before_theta.bin").exists()
+    assert (dump / "muts_before_theta.bin").exists()
+    assert (dump / "mudf_before_theta.bin").exists()

@@ -1,0 +1,177 @@
+"""CLI verification driver: load a golden fixture, run a tier, diff, time.
+
+Framework analog of the reference's three driver executables
+(advance_mu_t_driver.{f90,c,cu}): read every input field from the fixture
+directory, run ``advance_mu_t`` for N small steps on the selected tier,
+print the timing line, then the per-field comparison report (equal/diff
+counts, max rel/abs error, max ULP, RMSE — the reference's metric suite).
+
+Usage:
+    python -m wrf_tpu.driver FIXTURE_DIR [--steps N] [--tier T] [--mesh JxI]
+                             [--dump-intermediates DIR]
+
+Tiers: numpy (golden path), native (C++ oracle), xla, pallas
+(single-tile device paths), sharded-xla / sharded-pallas (mesh-decomposed,
+honours --mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .compare import compare
+from .io import codec, fixtures
+
+#: output-field -> golden file name (reference driver naming,
+#: advance_mu_t_driver.c:247-257)
+GOLDEN_FILES = {
+    "ww": "grid_ww_output.bin",
+    "t": "grid_t_2_output.bin",
+    "t_ave": "t_2save_output.bin",
+    "mu": "grid_mu_2_output.bin",
+    "muave": "muave_output.bin",
+    "muts": "grid_muts_output.bin",
+    "mudf": "grid_mudf_output.bin",
+}
+
+
+def run_tier(case, steps: int, tier: str, mesh_shape=None,
+             capture: bool = False):
+    """Run `steps` small steps on the chosen tier; returns (outputs, seconds).
+
+    The timed window covers the step calls only, transfers excluded,
+    matching the reference's timing policy."""
+    kw = case.kernel_kwargs()
+
+    if tier in ("numpy", "native"):
+        if tier == "numpy":
+            from .ops.reference_numpy import advance_mu_t_numpy as fn
+        else:
+            from .native import advance_mu_t_native as fn
+        state = {k: kw[k] for k in ("ww", "mu", "t", "t_ave")}
+        out = dict(state)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(**{**kw, **state})
+            state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
+        return out, time.perf_counter() - t0
+
+    if tier in ("xla", "pallas"):
+        b, flags = case.bounds, case.flags
+        i0, i1, j0, j1, k0, k1 = b.loop_bounds(flags)
+        arr = {k: v for k, v in kw.items() if hasattr(v, "ndim")}
+        sc = {k: kw[k] for k in ("rdx", "rdy", "dts", "epssm")}
+        if tier == "pallas":
+            from .ops.advance_mu_t_pallas import advance_mu_t_pallas
+
+            def step(ins):
+                return advance_mu_t_pallas(
+                    **ins, **sc, window=(i0, i1, j0, j1),
+                    k0=k0, k1=k1, kde=b.mem(b.kde, "k"),
+                )
+        else:
+            from .ops.advance_mu_t_jnp import advance_mu_t_core, window_masks
+            import jax.numpy as jnp
+            i_mask, j_mask = window_masks(b, flags)
+
+            def step(ins):
+                return advance_mu_t_core(
+                    **ins, **sc,
+                    i_mask=jnp.asarray(i_mask), j_mask=jnp.asarray(j_mask),
+                    k0=k0, k1=k1, kde=b.mem(b.kde, "k"),
+                    capture_intermediates=capture,
+                )
+
+        state = {k: arr[k] for k in ("ww", "mu", "t", "t_ave")}
+        out = step({**arr, **state})  # compile
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = step({**arr, **state})
+            state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
+        out = {k: np.asarray(v) for k, v in out.items()}  # readback syncs
+        return out, time.perf_counter() - t0
+
+    if tier.startswith("sharded"):
+        import jax
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded import (
+            ShardedAdvanceMuT, case_to_domain, embed_domain,
+        )
+        kernel = "pallas" if tier.endswith("pallas") else "xla"
+        mesh = make_mesh(
+            jax.devices()[: mesh_shape[0] * mesh_shape[1]] if mesh_shape else None,
+            mesh_shape,
+        )
+        nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+        step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, kernel=kernel)
+        arrays = step.prepare(case_to_domain(case))
+        out_dom = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)  # compile
+        t0 = time.perf_counter()
+        out_dom = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        out_dom = {k: np.asarray(v) for k, v in out_dom.items()}
+        dt = time.perf_counter() - t0
+        out = {}
+        for name, val in out_dom.items():
+            if name in ("ww", "mu", "t", "t_ave"):
+                like = np.asarray(kw[name])
+            else:
+                shape = case.bounds.shape3 if val.ndim == 3 else case.bounds.shape2
+                like = np.zeros(shape, dtype=np.float32)
+            out[name] = embed_domain(val, like, case.bounds)
+        return out, dt
+
+    raise SystemExit(f"unknown tier {tier!r}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("fixture_dir")
+    p.add_argument("--steps", type=int, default=None,
+                   help="small steps (default: the fixture's steps.bin)")
+    p.add_argument("--tier", default="pallas",
+                   choices=["numpy", "native", "xla", "pallas",
+                            "sharded-xla", "sharded-pallas"])
+    p.add_argument("--mesh", default=None, help="JxI mesh shape for sharded tiers")
+    p.add_argument("--dump-intermediates", default=None, metavar="DIR",
+                   help="write *_before_theta.bin phase-A captures (xla tier)")
+    args = p.parse_args(argv)
+
+    case, fx_steps = fixtures.read_case(args.fixture_dir)
+    steps = args.steps if args.steps is not None else fx_steps
+    mesh_shape = tuple(int(x) for x in args.mesh.split("x")) if args.mesh else None
+
+    out, dt = run_tier(case, steps, args.tier, mesh_shape,
+                       capture=bool(args.dump_intermediates))
+
+    if args.dump_intermediates:
+        from pathlib import Path
+        d = Path(args.dump_intermediates)
+        d.mkdir(parents=True, exist_ok=True)
+        for name, val in out.items():
+            if name.endswith("_before_theta"):
+                codec.write_field(d / f"{name}.bin", np.asarray(val))
+
+    b = case.bounds
+    n_pts = (b.ide - b.ids) * (b.jde - b.jds) * b.kdim * steps
+    print(f"advance_mu_t [{args.tier}]: {steps} step(s) in {dt * 1e3:.3f} ms "
+          f"({dt / steps * 1e3:.4f} ms/step, {n_pts / dt:.3e} grid-points/s)")
+
+    golden = fixtures.read_golden(args.fixture_dir, case.bounds)
+    failures = 0
+    for name, fname in GOLDEN_FILES.items():
+        r = compare(out[name], golden[name], fname)
+        print(r)
+        if not r.allclose(rtol=1e-4, atol=1e-2):
+            failures += 1
+    if failures:
+        print(f"FAILED: {failures} field(s) outside tolerance")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

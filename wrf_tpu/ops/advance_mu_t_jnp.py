@@ -92,6 +92,7 @@ def advance_mu_t_impl(
     k0: int,              # static: first active k level (0-based memory)
     k1: int,              # static: last active k level = kte-1
     kde: int,             # static: domain-top k index (wdtn = 0 there)
+    capture_intermediates: bool = False,
 ) -> dict[str, jax.Array]:
     """One acoustic small step; returns new ``ww, mu, muave, muts, mudf, t,
     t_ave``.  Cells outside the window keep input values (zeros for the
@@ -146,6 +147,20 @@ def advance_mu_t_impl(
     )
     ww_out = jnp.where(mask2f, ww_full, ww)
 
+    # Debug capture of the phase-A outputs before the theta phase — the
+    # analog of the reference's mid-kernel "*_before_theta.bin" dumps
+    # (module_small_step_em.f90:175-189), for phase-by-phase bisection of
+    # numerical divergence.
+    captured = {}
+    if capture_intermediates:
+        captured = {
+            "muave_before_theta": muave_out,
+            "mu_before_theta": mu_out,
+            "mudf_before_theta": mudf_out,
+            "muts_before_theta": muts_out,
+            "ww_before_theta": ww_out,
+        }
+
     # ---- Phase B: theta pre-update (tendency uncoupling) -----------------
     t_half = t + (msfty * dts)[:, None, :] * ft
     t_ave_out = jnp.where(mask2f & _k_window(t, k0, k1), t, t_ave)
@@ -179,12 +194,14 @@ def advance_mu_t_impl(
         "mudf": mudf_out,
         "t": t_out,
         "t_ave": t_ave_out,
+        **captured,
     }
 
 
 #: jitted entry point (k bounds are compile-time constants)
 advance_mu_t_core = jax.jit(
-    advance_mu_t_impl, static_argnames=("k0", "k1", "kde")
+    advance_mu_t_impl,
+    static_argnames=("k0", "k1", "kde", "capture_intermediates"),
 )
 
 
