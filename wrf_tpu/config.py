@@ -1,0 +1,187 @@
+"""Configuration system: the WRF namelist record and its projections.
+
+Two-tier design mirroring the reference (SURVEY.md §5 'Config / flag
+system'):
+
+  1. :class:`GridConfigRecord` — the full WRF namelist record.  The schema
+     (1,796 field names/types, reference: module_configure.f90:3-1800) lives
+     in ``config_schema.json``, extracted by ``tools/gen_config_schema.py``;
+     the record supports attribute access, a binary one-blob codec matching
+     the Fortran stream dump the reference driver consumes
+     (advance_mu_t_driver.f90:70-72), and per-flag binary files
+     (advance_mu_t_driver.c:135-137).
+  2. :class:`ConfigFlags26` — the 26-int C projection (config_flags.h:4-31).
+  3. :class:`~wrf_tpu.grid.ConfigFlags` — the 3 flags the dynamics kernel
+     actually consumes (periodic_x / specified / nested,
+     advance_mu_t.c:90-99).
+
+Projection direction: record -> 26-int struct -> 3-flag kernel view.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from .grid import ConfigFlags
+
+_SCHEMA_PATH = Path(__file__).resolve().parent / "config_schema.json"
+_SCHEMA = json.loads(_SCHEMA_PATH.read_text())
+
+RECORD_FIELDS: list[dict] = _SCHEMA["record_fields"]
+C_PROJECTION_FIELDS: list[str] = _SCHEMA["c_projection"]
+
+_DEFAULTS = {"int": 0, "float": 0.0, "bool": False, "str": ""}
+_CHAR_LEN = 256  # Fortran character*256
+
+
+class GridConfigRecord:
+    """The full WRF namelist record, schema-driven.
+
+    Unknown attribute names raise; types are coerced on set.  The binary
+    blob codec writes fields in declaration order, big-endian 4-byte
+    int/real/logical and 256-byte space-padded character — the layout of a
+    Fortran ``ACCESS="STREAM", convert="big_endian"`` record dump.
+    """
+
+    __slots__ = ("_values",)
+
+    _types = {f["name"]: f["type"] for f in RECORD_FIELDS}
+
+    def __init__(self, **overrides):
+        object.__setattr__(self, "_values", {
+            f["name"]: _DEFAULTS[f["type"]] for f in RECORD_FIELDS
+        })
+        for name, value in overrides.items():
+            setattr(self, name, value)
+
+    def __getattr__(self, name: str):
+        try:
+            return self._values[name]
+        except KeyError:
+            raise AttributeError(f"unknown namelist field {name!r}") from None
+
+    def __setattr__(self, name: str, value) -> None:
+        ftype = self._types.get(name)
+        if ftype is None:
+            raise AttributeError(f"unknown namelist field {name!r}")
+        caster = {"int": int, "float": float, "bool": bool, "str": str}[ftype]
+        self._values[name] = caster(value)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, GridConfigRecord) and self._values == other._values
+
+    def __len__(self) -> int:
+        return len(self._values)
+
+    # ------------------------------------------------------------------ #
+    # projections
+    # ------------------------------------------------------------------ #
+    def kernel_flags(self) -> ConfigFlags:
+        """The 3-flag view the dynamics kernel consumes."""
+        return ConfigFlags(
+            nested=bool(self.nested),
+            periodic_x=bool(self.periodic_x),
+            specified=bool(self.specified),
+        )
+
+    def c_projection(self) -> "ConfigFlags26":
+        return ConfigFlags26(**{
+            name: int(self._values[name]) for name in C_PROJECTION_FIELDS
+        })
+
+    # ------------------------------------------------------------------ #
+    # binary blob codec
+    # ------------------------------------------------------------------ #
+    def to_blob(self) -> bytes:
+        parts = []
+        for f in RECORD_FIELDS:
+            v = self._values[f["name"]]
+            if f["type"] == "int":
+                parts.append(struct.pack(">i", v))
+            elif f["type"] == "float":
+                parts.append(struct.pack(">f", v))
+            elif f["type"] == "bool":
+                # Fortran LOGICAL: 4 bytes, .TRUE. = 1
+                parts.append(struct.pack(">i", 1 if v else 0))
+            else:
+                parts.append(v.encode("ascii", "replace")[:_CHAR_LEN]
+                             .ljust(_CHAR_LEN, b" "))
+        return b"".join(parts)
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "GridConfigRecord":
+        rec = cls()
+        off = 0
+        for f in RECORD_FIELDS:
+            if f["type"] == "int":
+                rec._values[f["name"]] = struct.unpack_from(">i", blob, off)[0]
+                off += 4
+            elif f["type"] == "float":
+                rec._values[f["name"]] = struct.unpack_from(">f", blob, off)[0]
+                off += 4
+            elif f["type"] == "bool":
+                rec._values[f["name"]] = bool(struct.unpack_from(">i", blob, off)[0])
+                off += 4
+            else:
+                raw = blob[off : off + _CHAR_LEN]
+                rec._values[f["name"]] = raw.decode("ascii", "replace").rstrip()
+                off += _CHAR_LEN
+        return rec
+
+    def save(self, path) -> None:
+        Path(path).write_bytes(self.to_blob())
+
+    @classmethod
+    def load(cls, path) -> "GridConfigRecord":
+        return cls.from_blob(Path(path).read_bytes())
+
+
+class ConfigFlags26:
+    """The 26-int C projection of the namelist record
+    (reference: config_flags.h:4-31): lateral-BC flags, advection orders and
+    physics-option selectors.  Only nested/periodic_x/specified alter the
+    advance_mu_t kernel."""
+
+    __slots__ = tuple(C_PROJECTION_FIELDS)
+
+    def __init__(self, **values):
+        for name in C_PROJECTION_FIELDS:
+            setattr(self, name, int(values.get(name, 0)))
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, ConfigFlags26) and all(
+            getattr(self, n) == getattr(other, n) for n in C_PROJECTION_FIELDS
+        )
+
+    def kernel_flags(self) -> ConfigFlags:
+        return ConfigFlags(
+            nested=bool(self.nested),
+            periodic_x=bool(self.periodic_x),
+            specified=bool(self.specified),
+        )
+
+    # one-file-per-flag binary io (advance_mu_t_driver.c:135-137)
+    def save_flag_files(self, directory, prefix: str = "config_flags_") -> None:
+        from .io import codec
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        for name in C_PROJECTION_FIELDS:
+            codec.write_int(d / f"{prefix}{name}.bin", getattr(self, name))
+
+    @classmethod
+    def load_flag_files(cls, directory, prefix: str = "config_flags_",
+                        missing_ok: bool = True) -> "ConfigFlags26":
+        from .io import codec
+        d = Path(directory)
+        values = {}
+        for name in C_PROJECTION_FIELDS:
+            p = d / f"{prefix}{name}.bin"
+            if p.exists():
+                values[name] = codec.read_int(p)
+            elif not missing_ok:
+                raise FileNotFoundError(p)
+        return cls(**values)
