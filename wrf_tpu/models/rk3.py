@@ -1,0 +1,109 @@
+"""RK3 large-step shell around the acoustic small-step loop.
+
+WRF integrates the large (advective) timestep with the Wicker–Skamarock
+three-stage Runge–Kutta scheme; each stage re-evaluates the slow tendencies
+and then sub-cycles the acoustic loop over the stage interval:
+
+    stage 1: dt/3, 1 acoustic substep
+    stage 2: dt/2, ns/2 substeps
+    stage 3: dt,   ns substeps
+
+with every stage restarting from the large-step-start state.  The reference
+sample contains none of this (it runs one lone substep); this shell provides
+the integration *structure* — the slow-tendency evaluation is a caller hook
+(``tendency_fn``), since the physics/advection packages that would compute
+real tendencies are out of scope for the sample's capability set.
+
+The default hook keeps the supplied (fixture) tendencies, which makes stages
+1 and 2 provisional-state evaluations that feed nothing — exactly the
+degenerate case; supply a hook to close the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from ..grid import ConfigFlags
+from ..ops.advance_uv import DEFAULT_CS2
+from .small_step import STATE_KEYS, SmallStepLoop, small_step_golden
+
+#: large-step fields re-snapshotted at every stage start (the *_1 inputs
+#: and the time-average buffers)
+_STAGE_SNAPSHOT = {"u_1": "u", "v_1": "v", "t_1": "t", "ww_1": "ww"}
+
+
+def rk3_stages(acoustic_steps: int) -> tuple[tuple[float, int], ...]:
+    """(stage_dt_fraction, substeps) per stage, WRF convention."""
+    ns = max(2, acoustic_steps)
+    return ((1.0 / 3.0, 1), (0.5, max(1, ns // 2)), (1.0, ns))
+
+
+class RK3Integrator:
+    """One RK3 large step over the mesh-decomposed acoustic loop.
+
+    ``tendency_fn(stage, arrays) -> dict`` may replace the slow-tendency
+    fields (``ft``, ``mu_tend``) before each stage; default keeps them.
+    """
+
+    def __init__(self, mesh, nx, ny, nz, flags: ConfigFlags,
+                 acoustic_steps: int = 6, kernel: str = "pallas",
+                 cs2: float = DEFAULT_CS2, interpret: bool | None = None):
+        self.stages = rk3_stages(acoustic_steps)
+        self.loops = [
+            SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
+                          kernel=kernel, cs2=cs2, interpret=interpret)
+            for (_, n_sub) in self.stages
+        ]
+        self.prepare = self.loops[0].prepare
+
+    def step(self, arrays, rdx, rdy, dt, epssm,
+             tendency_fn: Callable | None = None):
+        """Advance one large step dt; returns the stage-3 outputs.
+
+        ``arrays`` are prepared ring-shaped inputs; every stage restarts
+        from them.  ``tendency_fn(stage, prev_stage_out, stage_arrays)``
+        receives the previous stage's provisional (domain-shaped) outputs
+        and returns replacement ring-shaped slow-tendency fields
+        (``ft``/``mu_tend``)."""
+        out = None
+        for stage, ((frac, n_sub), loop) in enumerate(zip(self.stages, self.loops)):
+            stage_arrays = dict(arrays)  # restart from step-start state
+            for snap, src in _STAGE_SNAPSHOT.items():
+                stage_arrays[snap] = arrays[src]
+            if tendency_fn is not None:
+                stage_arrays.update(tendency_fn(stage, out, stage_arrays))
+            dts = (frac * dt) / n_sub
+            out = loop(stage_arrays, rdx, rdy, dts, epssm)
+        return out
+
+
+def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
+               cs2: float = DEFAULT_CS2):
+    """Golden-path RK3 step on memory-window arrays (single tile)."""
+    import dataclasses
+    dt = dt if dt is not None else case.dts * acoustic_steps
+    start = {k: np.asarray(case.fields[n]) for k, n in
+             (("u", "grid_u_2"), ("v", "grid_v_2"), ("t", "grid_t_2"),
+              ("ww", "grid_ww"), ("mu", "grid_mu_2"), ("t_ave", "t_2save"))}
+    fields = dict(case.fields)
+    out = None
+    for (frac, n_sub) in rk3_stages(acoustic_steps):
+        stage_fields = dict(fields)
+        # restart from step-start state; snapshot the *_1 large-step fields
+        stage_fields["grid_u_2"] = start["u"]
+        stage_fields["grid_v_2"] = start["v"]
+        stage_fields["grid_t_2"] = start["t"]
+        stage_fields["grid_ww"] = start["ww"]
+        stage_fields["grid_mu_2"] = start["mu"]
+        stage_fields["t_2save"] = start["t_ave"]
+        stage_fields["grid_u_save"] = start["u"]
+        stage_fields["grid_v_save"] = start["v"]
+        stage_fields["grid_t_save"] = start["t"]
+        stage_fields["ww1"] = start["ww"]
+        stage_case = dataclasses.replace(
+            case, fields=stage_fields, dts=(frac * dt) / n_sub
+        )
+        out = small_step_golden(stage_case, n_sub, cs2=cs2)
+    return out

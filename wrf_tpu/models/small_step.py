@@ -1,0 +1,228 @@
+"""The acoustic small-step loop: advance_uv + advance_mu_t per substep.
+
+The reference runs one advance_mu_t in isolation; the framework's flagship
+model is the surrounding loop (BASELINE.json configs[2]): every acoustic
+substep the winds respond to the mass field (advance_uv) and the mass/theta
+fields respond to the winds (advance_mu_t), iterated device-resident under
+``lax.scan`` across the mesh.
+
+This closes the communication loop the lone kernel cannot exercise: because
+the winds and mu now change every substep *and* are read at neighbor points,
+each scan iteration refreshes the 1-cell halos of (mu) before the wind
+update and of (u, v) after it, via ``lax.ppermute`` over ICI — compiled to
+in-place updates on the scan carry.  Constant fields are exchanged once,
+outside the loop.
+
+Verification follows the house pattern: a numpy golden loop
+(``small_step_golden``) runs the same substep sequence FP-order-exact on a
+single tile; the mesh-decomposed loop must reassemble to it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..grid import ConfigFlags
+from ..ops.advance_mu_t_jnp import advance_mu_t_impl
+from ..ops.advance_mu_t_pallas import _pick_tj, advance_mu_t_pallas
+from ..ops.advance_uv import DEFAULT_CS2, advance_uv_jnp, advance_uv_numpy
+from ..ops.reference_numpy import advance_mu_t_numpy
+from ..parallel import halo
+from ..parallel.mesh import replicated, sharding2, sharding3
+from ..parallel.sharded import (
+    FIELDS_1D, FIELDS_2D, FIELDS_3D, RING, SCALARS, domain_window, pad_to_mesh,
+)
+
+F = jnp.float32
+
+#: fields carried (and updated) across substeps
+STATE_KEYS = ("ww", "mu", "t", "t_ave", "u", "v")
+
+
+def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2):
+    """Golden-path acoustic loop on memory-window arrays (single tile)."""
+    kw = case.kernel_kwargs()
+    i0, i1, j0, j1, _, _ = case.bounds.loop_bounds(case.flags)
+    window = (i0, i1, j0, j1)
+    state = {k: np.asarray(kw[k]) for k in STATE_KEYS}
+    out = dict(state)
+    for _ in range(steps):
+        u, v = advance_uv_numpy(
+            u=state["u"], v=state["v"], mu=state["mu"],
+            muu=kw["muu"], muv=kw["muv"],
+            msfuy=kw["msfuy"], msfvx_inv=kw["msfvx_inv"],
+            rdx=kw["rdx"], rdy=kw["rdy"], dts=kw["dts"],
+            window=window, cs2=cs2,
+        )
+        out = advance_mu_t_numpy(**{**kw, **state, "u": u, "v": v})
+        state = {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
+                 "u": u, "v": v}
+    return {**out, "u": state["u"], "v": state["v"]}
+
+
+class SmallStepLoop:
+    """Mesh-decomposed acoustic small-step loop (device-resident scan).
+
+    Same array contract as :class:`~wrf_tpu.parallel.sharded.ShardedAdvanceMuT`
+    (ring-shaped global arrays, ``prepare`` -> ``__call__``); additionally
+    returns the final winds.
+    """
+
+    def __init__(self, mesh: Mesh, nx: int, ny: int, nz: int,
+                 flags: ConfigFlags, n_steps: int = 1,
+                 kernel: str = "pallas", cs2: float = DEFAULT_CS2,
+                 tj: int | None = None, interpret: bool | None = None):
+        self.mesh = mesh
+        self.domain = (nx, ny, nz)
+        window = domain_window(nx, ny, nz, flags)
+        self.window = window
+        k0, k1 = window[4], window[5]
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+
+        s3, s2, rep = sharding3(mesh), sharding2(mesh), replicated(mesh)
+        self.shardings = {**{n: s3 for n in FIELDS_3D},
+                          **{n: s2 for n in FIELDS_2D},
+                          **{n: rep for n in FIELDS_1D}}
+        in_specs = ({n: self.shardings[n].spec for n in
+                     FIELDS_3D + FIELDS_2D + FIELDS_1D},
+                    {n: P() for n in SCALARS})
+        out_names = ("ww", "mu", "muave", "muts", "mudf", "t", "t_ave", "u", "v")
+        out_specs = {n: (P("j", None, "i") if n in
+                         ("ww", "t", "t_ave", "u", "v") else P("j", "i"))
+                     for n in out_names}
+        j_shards, i_shards = mesh.shape["j"], mesh.shape["i"]
+
+        def local_loop(arrs, scalars):
+            nj_loc, K, ni_loc = arrs["ww"].shape
+            j_sh, i_sh = j_shards > 1, i_shards > 1
+
+            padded = {}
+            for name in FIELDS_3D:
+                padded[name] = halo.halo3(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
+            for name in FIELDS_2D:
+                padded[name] = halo.halo2(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
+            for name in FIELDS_1D:
+                padded[name] = arrs[name]
+
+            tj_loc = tj or _pick_tj(K, ni_loc + 2)
+            padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
+            if padj:
+                for name in FIELDS_3D:
+                    padded[name] = jnp.pad(padded[name], ((0, padj), (0, 0), (0, 0)))
+                for name in FIELDS_2D:
+                    padded[name] = jnp.pad(padded[name], ((0, padj), (0, 0)))
+            Jl = nj_loc + 2 + padj
+
+            j_off = jax.lax.axis_index("j") * nj_loc - 1
+            i_off = jax.lax.axis_index("i") * ni_loc - 1
+            i0, i1, j0, j1 = window[:4]
+            offs = (j_off, i_off)
+
+            if kernel == "pallas":
+                def mu_t_step(ins):
+                    return advance_mu_t_pallas(
+                        **ins, **scalars,
+                        window=(i0, i1, j0, j1), offsets=offs,
+                        k0=k0, k1=k1, kde=nz - 1, tj=tj_loc,
+                        interpret=interpret,
+                    )
+            else:
+                i_idx = i_off + jnp.arange(ni_loc + 2)
+                j_idx = j_off + jnp.arange(Jl)
+                i_mask = (i_idx >= i0) & (i_idx <= i1)
+                j_mask = (j_idx >= j0) & (j_idx <= j1)
+
+                def mu_t_step(ins):
+                    return advance_mu_t_impl(
+                        **ins, **scalars, i_mask=i_mask, j_mask=j_mask,
+                        k0=k0, k1=k1, kde=nz - 1,
+                    )
+
+            def refresh3(x):
+                if j_sh:
+                    x = halo.refresh_axis(x, 0, "j", n_interior=nj_loc)
+                if i_sh:
+                    x = halo.refresh_axis(x, 2, "i", n_interior=ni_loc)
+                return x
+
+            def refresh2(x):
+                if j_sh:
+                    x = halo.refresh_axis(x, 0, "j", n_interior=nj_loc)
+                if i_sh:
+                    x = halo.refresh_axis(x, 1, "i", n_interior=ni_loc)
+                return x
+
+            const = {k: v for k, v in padded.items() if k not in STATE_KEYS}
+            state0 = {k: padded[k] for k in STATE_KEYS}
+
+            def substep(state):
+                # mu changed in the previous substep: refresh before the
+                # wind update reads mu(i-1)/mu(j-1) across shard boundaries
+                mu_p = refresh2(state["mu"])
+                u, v = advance_uv_jnp(
+                    u=state["u"], v=state["v"], mu=mu_p,
+                    muu=const["muu"], muv=const["muv"],
+                    msfuy=const["msfuy"], msfvx_inv=const["msfvx_inv"],
+                    rdx=scalars["rdx"], rdy=scalars["rdy"],
+                    dts=scalars["dts"],
+                    window=(i0, i1, j0, j1), offsets=offs, cs2=cs2,
+                )
+                # the winds changed: advance_mu_t reads u(i+1)/v(j+1)
+                u, v = refresh3(u), refresh3(v)
+                out = mu_t_step({**const, **state,
+                                 "mu": mu_p, "u": u, "v": v})
+                return {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
+                        "u": u, "v": v}, out
+
+            if n_steps > 1:
+                def body(state, _):
+                    new_state, _out = substep(state)
+                    return new_state, None
+                state, _ = jax.lax.scan(body, state0, length=n_steps - 1)
+            else:
+                state = state0
+            state, out = substep(state)
+
+            res = {}
+            full = {**out, "u": state["u"], "v": state["v"]}
+            for name in out_names:
+                val = full[name]
+                if val.ndim == 3:
+                    res[name] = val[1 : 1 + nj_loc, :, 1 : 1 + ni_loc]
+                else:
+                    res[name] = val[1 : 1 + nj_loc, 1 : 1 + ni_loc]
+            return res
+
+        self._run = jax.jit(jax.shard_map(
+            local_loop, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))
+
+    def prepare(self, arrays):
+        out = {}
+        for name in FIELDS_3D + FIELDS_2D:
+            out[name] = jax.device_put(
+                pad_to_mesh(arrays[name], self.mesh), self.shardings[name]
+            )
+        for name in FIELDS_1D:
+            out[name] = jax.device_put(
+                jnp.asarray(arrays[name], F), self.shardings[name]
+            )
+        return out
+
+    def __call__(self, arrays, rdx, rdy, dts, epssm):
+        scalars = {"rdx": jnp.asarray(rdx, F), "rdy": jnp.asarray(rdy, F),
+                   "dts": jnp.asarray(dts, F), "epssm": jnp.asarray(epssm, F)}
+        out = self._run(arrays, scalars)
+        nx, ny, _ = self.domain
+        trimmed = {}
+        for name, val in out.items():
+            if val.ndim == 3:
+                trimmed[name] = val[RING : ny + RING, :, RING : nx + RING]
+            else:
+                trimmed[name] = val[RING : ny + RING, RING : nx + RING]
+        return trimmed

@@ -54,6 +54,29 @@ def with_halo(x: jax.Array, *, j_axis: int, i_axis: int,
     return x
 
 
+def refresh_axis(xp: jax.Array, axis: int, axis_name: str,
+                 n_interior: int | None = None) -> jax.Array:
+    """Refresh the 1-cell halo of an ALREADY-padded local block along
+    ``axis`` from the neighbors' interior edges (in-loop exchange for fields
+    that changed during a scan step).  Compiles to in-place dynamic updates
+    inside ``lax.scan`` carries.
+
+    ``n_interior``: owned extent (halo cells sit at 0 and n_interior+1);
+    defaults to ``shape[axis] - 2`` — pass it when extra alignment padding
+    follows the high halo row.
+    """
+    n_int = (xp.shape[axis] - 2) if n_interior is None else n_interior
+    lo_int = lax.slice_in_dim(xp, 1, 2, axis=axis)               # first owned
+    hi_int = lax.slice_in_dim(xp, n_int, n_int + 1, axis=axis)   # last owned
+    from_prev = lax.ppermute(hi_int, axis_name, _perm_shift(axis_name, +1))
+    from_next = lax.ppermute(lo_int, axis_name, _perm_shift(axis_name, -1))
+    starts_lo = [0] * xp.ndim
+    starts_hi = [0] * xp.ndim
+    starts_hi[axis] = n_int + 1
+    xp = lax.dynamic_update_slice(xp, from_prev, starts_lo)
+    return lax.dynamic_update_slice(xp, from_next, starts_hi)
+
+
 def halo3(x: jax.Array, j_sharded: bool = True, i_sharded: bool = True) -> jax.Array:
     """(j, k, i) local block -> (j+2, k, i+2)."""
     return with_halo(x, j_axis=0, i_axis=2, j_sharded=j_sharded, i_sharded=i_sharded)
