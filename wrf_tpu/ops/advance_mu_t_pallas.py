@@ -106,7 +106,14 @@ def _kernel(
         return pltpu.roll(x, shift % K, 1)
 
     def shift_up(center, hi_row):  # rows r+1: in-slab shift + boundary row
+        if center.shape[0] == 1:   # tj == 1: the boundary row IS the shift
+            return hi_row
         return jnp.concatenate([center[1:], hi_row], axis=0)
+
+    def shift_down(center, lo_row):  # rows r-1
+        if center.shape[0] == 1:
+            return lo_row
+        return jnp.concatenate([lo_row, center[:-1]], axis=0)
 
     u = u_ref[:] * wscale
     v = v_ref[:] * wscale
@@ -180,7 +187,7 @@ def _kernel(
     vert = rdnw_ref[:].reshape(1, K, 1) * (roll_k(wdtn, -1) - wdtn)
 
     t1_jp = shift_up(t1, t1_hi_ref[:])
-    t1_jm = jnp.concatenate([t1_lo_ref[:], t1[:-1]], axis=0)
+    t1_jm = shift_down(t1, t1_lo_ref[:])
     v_jp = shift_up(v, v_hi)
     fy = v_jp * (t1_jp + t1) - v * (t1 + t1_jm)
     fx = roll_i(u, -1) * (roll_i(t1, -1) + t1) - u * (t1 + roll_i(t1, 1))
