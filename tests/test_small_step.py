@@ -97,3 +97,32 @@ def test_winds_feed_back(small_case):
     from wrf_tpu.ops.reference_numpy import advance_mu_t_numpy
     gold_frozen = run_steps(advance_mu_t_numpy, case, steps=10)
     assert np.abs(gold_coupled["mu"] - gold_frozen["mu"]).max() > 1e-3
+
+
+def test_native_coupled_loop_bitwise(small_case):
+    """Native C++ coupled loop (advance_uv + advance_mu_t) is bit-identical
+    to the numpy golden loop — the flagship model has a full native tier."""
+    from wrf_tpu.native import advance_mu_t_native, advance_uv_native
+    from wrf_tpu.ops.advance_uv import DEFAULT_CS2
+    case = small_case
+    kw = case.kernel_kwargs()
+    state = {k: np.asarray(kw[k]) for k in
+             ("ww", "mu", "t", "t_ave", "u", "v")}
+    steps = 10
+    out = dict(state)
+    for _ in range(steps):
+        u, v = advance_uv_native(
+            u=state["u"], v=state["v"], mu=state["mu"],
+            muu=kw["muu"], muv=kw["muv"],
+            msfuy=kw["msfuy"], msfvx_inv=kw["msfvx_inv"],
+            rdx=kw["rdx"], rdy=kw["rdy"], dts=kw["dts"], cs2=DEFAULT_CS2,
+            flags=case.flags, bounds=case.bounds,
+        )
+        out = advance_mu_t_native(**{**kw, **state, "u": u, "v": v})
+        state = {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
+                 "u": u, "v": v}
+    gold = small_step_golden(case, steps)
+    for name in ("ww", "mu", "t", "t_ave"):
+        assert (out[name] == gold[name]).all(), f"{name} differs bitwise"
+    assert (state["u"] == gold["u"]).all()
+    assert (state["v"] == gold["v"]).all()

@@ -70,6 +70,10 @@ def _get_lib() -> ctypes.CDLL:
             + [ctypes.c_float] * 4
             + [fp] * 8
         )
+        _lib.wrf_advance_uv.restype = ctypes.c_int32
+        _lib.wrf_advance_uv.argtypes = (
+            [ctypes.POINTER(_Window)] + [fp] * 7 + [ctypes.c_float] * 4
+        )
         _lib.wrf_compare.restype = None
         _lib.wrf_compare.argtypes = [fp, fp, ctypes.c_int64,
                                      ctypes.POINTER(_CompareResult)]
@@ -170,6 +174,47 @@ def advance_mu_t_native(
         "ww": ww_o, "mu": mu_o, "muave": muave_o, "muts": muts_o,
         "mudf": mudf_o, "t": t_o, "t_ave": t_ave_o,
     }
+
+
+def advance_uv_native(
+    *,
+    u: np.ndarray,
+    v: np.ndarray,
+    mu: np.ndarray,
+    muu: np.ndarray,
+    muv: np.ndarray,
+    msfuy: np.ndarray,
+    msfvx_inv: np.ndarray,
+    rdx: float,
+    rdy: float,
+    dts: float,
+    cs2: float,
+    flags: ConfigFlags,
+    bounds: GridBounds,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native wind substep; same contract as
+    :func:`wrf_tpu.ops.advance_uv.advance_uv_numpy` (functional)."""
+    lib = _get_lib()
+    i0, i1, j0, j1, k0, k1 = bounds.loop_bounds(flags)
+    w = _Window(
+        jdim=bounds.jdim, kdim=bounds.kdim, idim=bounds.idim,
+        i0=i0, i1=i1, j0=j0, j1=j1, k0=k0, k1=k1,
+        kde=bounds.mem(bounds.kde, "k"),
+    )
+    u_o = _c_contig_f32(u, "u", writable=True)
+    v_o = _c_contig_f32(v, "v", writable=True)
+    ins = {name: _c_contig_f32(arr, name) for name, arr in dict(
+        mu=mu, muu=muu, muv=muv, msfuy=msfuy, msfvx_inv=msfvx_inv).items()}
+    rc = lib.wrf_advance_uv(
+        ctypes.byref(w), _fp(u_o), _fp(v_o),
+        _fp(ins["mu"]), _fp(ins["muu"]), _fp(ins["muv"]),
+        _fp(ins["msfuy"]), _fp(ins["msfvx_inv"]),
+        ctypes.c_float(rdx), ctypes.c_float(rdy),
+        ctypes.c_float(dts), ctypes.c_float(cs2),
+    )
+    if rc != 0:
+        raise RuntimeError(f"wrf_advance_uv failed with rc={rc}")
+    return u_o, v_o
 
 
 @dataclasses.dataclass(frozen=True)

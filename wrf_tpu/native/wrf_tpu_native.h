@@ -47,6 +47,16 @@ int32_t wrf_advance_mu_t(
     const float* msfuy, const float* msfvx_inv,
     const float* msftx, const float* msfty);
 
+// Linearized-acoustic wind substep (advance_uv): u/v updated in place from
+// the horizontal gradient of cs2*mu over the edge-point windows interior to
+// the mass window (see wrf_tpu/ops/advance_uv.py for the scheme).
+int32_t wrf_advance_uv(
+    const wrf_window* w,
+    float* u, float* v, const float* mu,
+    const float* muu, const float* muv,
+    const float* msfuy, const float* msfvx_inv,
+    float rdx, float rdy, float dts, float cs2);
+
 // --- comparator suite (reference metrics: equal/diff counts, max rel/abs
 //     error, max ULP distance, RMSE; advance_mu_t_driver.c:543-653) -------
 typedef struct {
