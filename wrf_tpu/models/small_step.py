@@ -6,12 +6,20 @@ substep the winds respond to the mass field (advance_uv) and the mass/theta
 fields respond to the winds (advance_mu_t), iterated device-resident under
 ``lax.scan`` across the mesh.
 
-This closes the communication loop the lone kernel cannot exercise: because
-the winds and mu now change every substep *and* are read at neighbor points,
-each scan iteration refreshes the 1-cell halos of (mu) before the wind
-update and of (u, v) after it, via ``lax.ppermute`` over ICI — compiled to
-in-place updates on the scan carry.  Constant fields are exchanged once,
-outside the loop.
+On the Pallas path the whole coupled substep is ONE fused kernel
+(``advance_mu_t_pallas(fuse_uv=True)``): the wind update runs in-register
+from the mu field's 1-cell halo, so the separate XLA wind pass (2 reads +
+2 writes of the 3-D winds) disappears and u/v are streamed exactly once
+per substep.  The per-substep communication shrinks accordingly: only mu
+(read at i-1/j-1/j+1 by the fused wind update) and v (read at j+1 by the
+mass flux from the NEXT tile's first row, which the kernel cannot
+recompute locally) are ppermute-refreshed each iteration; the updated u
+halo lanes are recomputed in-register on whichever shard needs them, since
+the wind formula only consumes the (fresh) mu halo.  t_ave is produced
+only on the final substep (it is pointwise t_old, never read back).
+
+The XLA path keeps the two-pass structure (advance_uv_jnp + mu_t) with
+full u/v halo refreshes — it is the cross-check for the fused kernel.
 
 Verification follows the house pattern: a numpy golden loop
 (``small_step_golden``) runs the same substep sequence FP-order-exact on a
@@ -27,7 +35,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..grid import ConfigFlags
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
-from ..ops.advance_mu_t_pallas import _pick_tj, advance_mu_t_pallas
+from ..ops.advance_mu_t_pallas import (
+    SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
+)
 from ..ops.advance_uv import DEFAULT_CS2, advance_uv_jnp, advance_uv_numpy
 from ..ops.reference_numpy import advance_mu_t_numpy
 from ..parallel import halo
@@ -108,7 +118,7 @@ class SmallStepLoop:
             for name in FIELDS_1D:
                 padded[name] = arrs[name]
 
-            tj_loc = tj or _pick_tj(K, ni_loc + 2)
+            tj_loc = tj or _pick_tj(K, ni_loc + 2, budget=SHARDED_VMEM_BUDGET)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in FIELDS_3D:
@@ -123,11 +133,13 @@ class SmallStepLoop:
             offs = (j_off, i_off)
 
             if kernel == "pallas":
-                def mu_t_step(ins):
+                def fused_step(ins, with_tave):
                     return advance_mu_t_pallas(
                         **ins, **scalars,
                         window=(i0, i1, j0, j1), offsets=offs,
                         k0=k0, k1=k1, kde=nz - 1, tj=tj_loc,
+                        fuse_uv=True, cs2=cs2, with_tave=with_tave,
+                        vmem_limit=SHARDED_VMEM_LIMIT,
                         interpret=interpret,
                     )
             else:
@@ -156,31 +168,47 @@ class SmallStepLoop:
                     x = halo.refresh_axis(x, 1, "i", n_interior=ni_loc)
                 return x
 
-            const = {k: v for k, v in padded.items() if k not in STATE_KEYS}
-            state0 = {k: padded[k] for k in STATE_KEYS}
+            carry_keys = (("ww", "mu", "t", "u", "v") if kernel == "pallas"
+                          else STATE_KEYS)
+            const = {k: v for k, v in padded.items() if k not in carry_keys}
+            state0 = {k: padded[k] for k in carry_keys}
 
-            def substep(state):
-                # mu changed in the previous substep: refresh before the
-                # wind update reads mu(i-1)/mu(j-1) across shard boundaries
-                mu_p = refresh2(state["mu"])
-                u, v = advance_uv_jnp(
-                    u=state["u"], v=state["v"], mu=mu_p,
-                    muu=const["muu"], muv=const["muv"],
-                    msfuy=const["msfuy"], msfvx_inv=const["msfvx_inv"],
-                    rdx=scalars["rdx"], rdy=scalars["rdy"],
-                    dts=scalars["dts"],
-                    window=(i0, i1, j0, j1), offsets=offs, cs2=cs2,
-                )
-                # the winds changed: advance_mu_t reads u(i+1)/v(j+1)
-                u, v = refresh3(u), refresh3(v)
-                out = mu_t_step({**const, **state,
-                                 "mu": mu_p, "u": u, "v": v})
-                return {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
-                        "u": u, "v": v}, out
+            if kernel == "pallas":
+                def substep(state, with_tave=True):
+                    # mu changed in the previous substep: refresh before
+                    # the in-kernel wind update reads its i-1/j-1/j+1
+                    # neighbors; v's halo row feeds the next tile's j+1
+                    # mass flux.  u's halo lanes self-maintain in-register
+                    # (the kernel recomputes them from the fresh mu halo).
+                    mu_p = refresh2(state["mu"])
+                    v = state["v"]
+                    if j_sh:
+                        v = halo.refresh_axis(v, 0, "j", n_interior=nj_loc)
+                    out = fused_step({**const, **state, "mu": mu_p, "v": v},
+                                     with_tave)
+                    return {k: out[k] for k in carry_keys}, out
+            else:
+                def substep(state, with_tave=True):
+                    del with_tave
+                    mu_p = refresh2(state["mu"])
+                    u, v = advance_uv_jnp(
+                        u=state["u"], v=state["v"], mu=mu_p,
+                        muu=const["muu"], muv=const["muv"],
+                        msfuy=const["msfuy"], msfvx_inv=const["msfvx_inv"],
+                        rdx=scalars["rdx"], rdy=scalars["rdy"],
+                        dts=scalars["dts"],
+                        window=(i0, i1, j0, j1), offsets=offs, cs2=cs2,
+                    )
+                    # the winds changed: advance_mu_t reads u(i+1)/v(j+1)
+                    u, v = refresh3(u), refresh3(v)
+                    out = mu_t_step({**const, **state,
+                                     "mu": mu_p, "u": u, "v": v})
+                    return {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
+                            "u": u, "v": v}, {**out, "u": u, "v": v}
 
             if n_steps > 1:
                 def body(state, _):
-                    new_state, _out = substep(state)
+                    new_state, _out = substep(state, with_tave=False)
                     return new_state, None
                 state, _ = jax.lax.scan(body, state0, length=n_steps - 1)
             else:
@@ -188,7 +216,7 @@ class SmallStepLoop:
             state, out = substep(state)
 
             res = {}
-            full = {**out, "u": state["u"], "v": state["v"]}
+            full = out
             for name in out_names:
                 val = full[name]
                 if val.ndim == 3:

@@ -1,9 +1,10 @@
 """advance_mu_t as a single fused Pallas TPU kernel.
 
 One kernel invocation performs the whole small step — both phases, all seven
-outputs — in one pass over HBM.  This is the framework's hot path; the pure
-XLA path (advance_mu_t_jnp.py) materializes the big intermediates (dvdxi,
-fluxes, wdtn) in HBM, while here they live entirely in VMEM/registers.
+outputs, optionally the advance_uv wind substep too — in one pass over HBM.
+This is the framework's hot path; the pure XLA path (advance_mu_t_jnp.py)
+materializes the big intermediates (dvdxi, fluxes, wdtn) in HBM, while here
+they live entirely in VMEM/registers.
 
 Kernel geometry (TPU-first, not a translation of the reference's
 one-thread-per-column CUDA kernel, advance_mu_t_kernel.cu:16-198):
@@ -15,28 +16,52 @@ one-thread-per-column CUDA kernel, advance_mu_t_kernel.cu:16-198):
   * j±1 neighbors inside a slab are axis-0 shifts; only the single rows
     beyond the slab edges arrive as extra 1-row element-offset block views
     (``pl.Element``) of the same HBM arrays, so each field is streamed
-    from HBM ≈ once (the j-halo re-fetch is 1/TJ, not 2-3x as a naive
-    shifted-view scheme would cost).  Mosaic double-buffers every view
-    through its grid pipeline, overlapping the HBM streams with compute;
+    from HBM ≈ once (the j-halo re-fetch is 1-2 rows per TJ-row tile).
+    Mosaic double-buffers every view through its grid pipeline,
+    overlapping the HBM streams with compute.  (Merging a field's views
+    into one widened overlapping view would drop the operand count, but
+    Mosaic miscompiles overlapping multi-row element views — kernel
+    faults — so views stay disjoint-per-operand.);
   * tile ``g`` computes rows ``[1+g*TJ, 1+(g+1)*TJ)`` so every view stays
     in bounds without edge padding (Mosaic does not support low padding);
     the first/last rows — always halo/ring rows — pass through untouched
-    via input/output aliasing;
-  * in/out fields (ww, t, t_ave, mu) are hard-aliased onto their outputs:
-    no written array is read at j±1 by any view, so in-place tiling is
-    race-free and the unwritten edge rows keep their input values free;
+    via input/output aliasing (or an edge-row patch for mu, see below);
+  * in/out fields are hard-aliased onto their outputs whenever the grid
+    pipeline cannot observe a written row: center-only reads (ww, t,
+    t_ave, u) trivially qualify, and so does v — its only cross-row view
+    (``v_hi``) reads FORWARD rows, which are written by strictly later
+    grid steps, long after the sequential pipeline fetched them.  mu under
+    ``fuse_uv`` is the one exception: ``mu_lo`` reads the PREVIOUS tile's
+    just-written row (the fetch is issued while that tile computes — a
+    real race), so mu gets a fresh output buffer and its two
+    never-computed edge rows are patched outside the kernel;
   * boundary conditions are masks computed in-kernel from the global
     window bounds (SMEM scalars), so the same program runs on every shard
     under shard_map (the shard passes its global row/lane offsets);
-  * an optional wind-scale SMEM scalar multiplies u/v on load — the
-    small-step loop uses it to model advance_uv's per-step wind updates
-    without an extra XLA pass over u/v;
+  * ``fuse_uv``: the acoustic wind substep (advance_uv — see
+    ops/advance_uv.py) runs in-register at the top of the kernel: the
+    linearized pressure ``p = cs2*mu`` needs only mu(i-1)/mu(j-1) (one
+    extra 2-D row view each way), and the updated winds feed the mass
+    fluxes directly — the whole coupled substep becomes ONE HBM pass,
+    eliminating the separate XLA wind pass (2 reads + 2 writes of the
+    3-D winds);
+  * ``with_tave=False`` drops the t_ave input/output streams — inside a
+    multi-substep scan only the final substep needs them (t_ave is
+    pointwise t_old, never read back), saving 2 more field passes;
+  * an optional wind-scale SMEM scalar multiplies u/v on load (skipped
+    entirely when statically 1) — the mu_t-only loop uses it to model
+    per-step wind updates without an extra XLA pass over u/v;
   * 2-D fields ride as ``(J, 1, I)`` so the j-tiled block shapes satisfy
     the TPU (sublane, lane) block constraints for any TJ.
 
-Numerics are identical to the golden path (module_small_step_em.f90:7-252);
-the k reduction/scan runs k-ascending (sequential in-VMEM loop for the
-scan), matching the oracle's floating-point association.
+Numerics match the golden path (module_small_step_em.f90:7-252, and
+advance_uv's linearized wind update when fused) except for two documented
+fp32 re-associations on this device tier: the k reduction order (same as
+the XLA tier) and divisions by 2-D map factors hoisted out of the 3-D
+volume (``(muu*u_1)/msfuy -> u_1*(muu/msfuy)``, ``x/msfty ->
+x*(1/msfty)``) — ≤1 ulp per element, covered by the fp32 comparison
+tolerances every device tier is held to.  The k scan runs k-ascending
+(sequential in-VMEM loop), matching the oracle's association.
 """
 
 from __future__ import annotations
@@ -58,34 +83,45 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
     return (k >= lo) & (k < hi)
 
 
-def _kernel(
-    # --- SMEM scalars -------------------------------------------------
-    scal_ref,   # (1, 5) f32: rdx, rdy, dts, epssm, wind_scale
-    win_ref,    # (1, 6) i32: i0, i1, j0, j1 (global window), j_off, i_off
-    # --- 3-D center views (TJ, K, I), rows [1+g*TJ, 1+(g+1)*TJ) ---------
-    ww_ref, ww1_ref, u_ref, u1_ref, v_ref, v1_ref,
-    t_ref, t1_ref, tave_ref, ft_ref,
-    # --- 3-D boundary rows (1, K, I) -------------------------------------
-    v_hi_ref, v1_hi_ref,          # row after the slab (j+1 of the last row)
-    t1_hi_ref, t1_lo_ref,         # rows after/before the slab
-    # --- 2-D center views (TJ, 1, I) --------------------------------------
-    mu_ref, mut_ref, muu_ref, muv_ref, mutend_ref,
-    msfuy_ref, msfvxi_ref, msftx_ref, msfty_ref,
-    # --- 2-D boundary rows (1, 1, I) ---------------------------------------
-    muv_hi_ref, msfvxi_hi_ref,
-    # --- 1-D vertical vectors (1, K) -----------------------------------
-    dnw_ref, fnm_ref, fnp_ref, rdnw_ref,
-    # --- outputs (TJ, K, I) / (TJ, 1, I) at the slab rows -----------------
-    ww_out, t_out, tave_out,
-    mu_out, muave_out, muts_out, mudf_out,
-    # --- scratch ---------------------------------------------------------
-    scan_ref,   # (TJ, K, I) VMEM: in-place ww vertical scan
-    *,
-    k0: int, k1: int, tj: int,
-):
+def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
+            has_wscale: bool):
+    it = iter(refs)
+    # --- SMEM scalars ---------------------------------------------------
+    scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, wind_scale, cs2
+    win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1 (window), j_off, i_off
+    # --- 3-D center views (TJ, K, I), rows [1+g*TJ, 1+(g+1)*TJ) ----------
+    ww_ref, ww1_ref = next(it), next(it)
+    u_ref, u1_ref = next(it), next(it)
+    v_ref, v1_ref = next(it), next(it)
+    t_ref, t1_ref = next(it), next(it)
+    tave_ref = next(it) if with_tave else None
+    ft_ref = next(it)
+    # --- 3-D boundary rows (1, K, I) --------------------------------------
+    v_hi_ref, v1_hi_ref = next(it), next(it)   # row after the slab
+    t1_hi_ref, t1_lo_ref = next(it), next(it)  # rows after/before the slab
+    # --- 2-D boundary rows for the fused wind substep ---------------------
+    if fuse_uv:
+        mu_lo_ref, mu_hi_ref = next(it), next(it)
+    # --- 2-D center views (TJ, 1, I) ---------------------------------------
+    mu_ref, mut_ref = next(it), next(it)
+    muu_ref, muv_ref, mutend_ref = next(it), next(it), next(it)
+    msfuy_ref, msfvxi_ref = next(it), next(it)
+    msftx_ref, msfty_ref = next(it), next(it)
+    # --- 2-D boundary rows (1, 1, I) ----------------------------------------
+    muv_hi_ref, msfvxi_hi_ref = next(it), next(it)
+    # --- 1-D vertical vectors (1, K) --------------------------------------
+    dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
+    # --- outputs (TJ, K, I) / (TJ, 1, I) at the slab rows ------------------
+    ww_out, t_out = next(it), next(it)
+    tave_out = next(it) if with_tave else None
+    mu_out, muave_out, muts_out, mudf_out = next(it), next(it), next(it), next(it)
+    if fuse_uv:
+        u_out, v_out = next(it), next(it)
+    # --- scratch -----------------------------------------------------------
+    scan_ref = next(it)   # (TJ, K, I) VMEM: in-place ww vertical scan
+
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, epssm = scal_ref[0, 2], scal_ref[0, 3]
-    wscale = scal_ref[0, 4]
     K = ww_ref.shape[1]
     I = ww_ref.shape[2]
 
@@ -94,10 +130,10 @@ def _kernel(
     i_glob = jax.lax.broadcasted_iota(jnp.int32, (tj, 1, I), 2) + win_ref[0, 5]
     j_glob = (jax.lax.broadcasted_iota(jnp.int32, (tj, 1, I), 0)
               + win_ref[0, 4] + 1 + g * tj)
-    mask = (
-        (i_glob >= win_ref[0, 0]) & (i_glob <= win_ref[0, 1])
-        & (j_glob >= win_ref[0, 2]) & (j_glob <= win_ref[0, 3])
-    )  # (TJ, 1, I) — broadcasts over k
+    i0w, i1w, j0w, j1w = win_ref[0, 0], win_ref[0, 1], win_ref[0, 2], win_ref[0, 3]
+    i_in = (i_glob >= i0w) & (i_glob <= i1w)
+    j_in = (j_glob >= j0w) & (j_glob <= j1w)
+    mask = i_in & j_in  # (TJ, 1, I) — broadcasts over k
 
     def roll_i(x, shift):          # i±1 neighbor: lane roll (edges masked)
         return pltpu.roll(x, shift % I, 2)
@@ -115,18 +151,52 @@ def _kernel(
             return lo_row
         return jnp.concatenate([lo_row, center[:-1]], axis=0)
 
-    u = u_ref[:] * wscale
-    v = v_ref[:] * wscale
-    v_hi = v_hi_ref[:] * wscale
+    u = u_ref[:]
+    v = v_ref[:]
+    v_hi = v_hi_ref[:]
     t1 = t1_ref[:]
+    mu = mu_ref[:]
+    if has_wscale:
+        wscale = scal_ref[0, 4]
+        u = u * wscale
+        v = v * wscale
+        v_hi = v_hi * wscale
+
+    muu_over_msfuy = muu_ref[:] / msfuy_ref[:]        # (TJ, 1, I)  BISECT-A
+    muv_msfvxi = muv_ref[:] * msfvxi_ref[:]           # (TJ, 1, I)
+    muv_msfvxi_hi = muv_hi_ref[:] * msfvxi_hi_ref[:]  # (1, 1, I)
+
+    # ---- fused wind substep (advance_uv, ops/advance_uv.py) -----------
+    # p = cs2*mu'; u += dts*(muu/msfuy)*(-rdx)*(p - p(i-1));
+    # v += dts*(muv*msfvx_inv)*(-rdy)*(p - p(j-1)).  The hi row of v is
+    # advanced by the same formula (it feeds the slab's j+1 mass flux);
+    # every other neighbor the stencils need is reproduced in-register.
+    if fuse_uv:
+        cs2 = scal_ref[0, 5]
+        p = cs2 * mu                      # (TJ, 1, I)
+        p_lo = cs2 * mu_lo_ref[:]         # (1, 1, I): row before the slab
+        p_hi = cs2 * mu_hi_ref[:]         # (1, 1, I): row after the slab
+        u_mask = (i_glob >= i0w + 1) & (i_glob <= i1w) & j_in
+        v_mask = i_in & (j_glob >= j0w + 1) & (j_glob <= j1w)
+        du = (dts * muu_over_msfuy * (-rdx)) * (p - roll_i(p, 1))
+        dv = (dts * muv_msfvxi * (-rdy)) * (p - shift_down(p, p_lo))
+        u = u + jnp.where(u_mask, du, F(0.0))
+        v = v + jnp.where(v_mask, dv, F(0.0))
+        j_hi = win_ref[0, 4] + 1 + (g + 1) * tj
+        vhi_mask = i_in[:1] & (j_hi >= j0w + 1) & (j_hi <= j1w)
+        dv_hi = (dts * muv_msfvxi_hi * (-rdy)) * (p_hi - p[tj - 1 : tj])
+        v_hi = v_hi + jnp.where(vhi_mask, dv_hi, F(0.0))
+        u_out[:] = u
+        v_out[:] = v
 
     # ---- Phase A: mass-flux divergence and column reduction -----------
-    # association matches the golden path: v + (muv*v_1)*msfvx_inv,
-    # u + (muu*u_1)/msfuy (module_small_step_em.f90:142-146)
-    vflux = v + (muv_ref[:] * v1_ref[:]) * msfvxi_ref[:]
-    vflux_b = v_hi + (muv_hi_ref[:] * v1_hi_ref[:]) * msfvxi_hi_ref[:]
+    # association matches the golden path: v + (muv*v_1)*msfvx_inv
+    # (module_small_step_em.f90:142-146); the u flux divides by the 2-D
+    # map factor up front (see module docstring).
+    vflux = v + muv_msfvxi * v1_ref[:]
+    vflux_b = v_hi + muv_msfvxi_hi * v1_hi_ref[:]
     vflux_p = shift_up(vflux, vflux_b)
-    uflux = u + (muu_ref[:] * u1_ref[:]) / msfuy_ref[:]
+    uflux = u + (muu_ref[:] * u1_ref[:]) / msfuy_ref[:]  # BISECT-A
     msft2 = msftx_ref[:] * msfty_ref[:]
     dvdxi = msft2 * (
         rdy * (vflux_p - vflux) + rdx * (roll_i(uflux, -1) - uflux)
@@ -139,7 +209,6 @@ def _kernel(
     )  # (TJ, 1, I)
 
     # ---- mu update with epsilon off-centering -------------------------
-    mu = mu_ref[:]
     tend = dmdt + mutend_ref[:]
     mu_new = mu + dts * tend
     mu_out[:] = jnp.where(mask, mu_new, mu)
@@ -153,7 +222,7 @@ def _kernel(
     # ---- ww vertical scan (chip-local, k-ascending like the oracle) ---
     # ww(k) = ww(k-1) - dnw(k-1)*(dmdt + dvdxi(k-1) + mu_tend)/msfty,
     # integrated up from the input surface level, then ww -= ww_1.
-    steps = -dnw * (dmdt + dvdxi + mutend_ref[:]) / msfty_ref[:]
+    steps = -dnw * (dmdt + dvdxi + mutend_ref[:]) / msfty_ref[:]  # BISECT-A
     ww = ww_ref[:]
     # Scratch slot k is preloaded with step(k-1) (a k+1 shift); the loop then
     # turns slot k into ww(k) = ww(k-1) + step(k-1) in place, reading the
@@ -177,7 +246,8 @@ def _kernel(
     t = t_ref[:]
     msfty = msfty_ref[:]
     t_half = t + (msfty * dts) * ft_ref[:]
-    tave_out[:] = jnp.where(kmask_upd & mask, t, tave_ref[:])
+    if with_tave:
+        tave_out[:] = jnp.where(kmask_upd & mask, t, tave_ref[:])
 
     # vertical flux interpolant on w levels (zero at surface and domain top)
     fnm = fnm_ref[:].reshape(1, K, 1)
@@ -196,12 +266,20 @@ def _kernel(
     t_out[:] = jnp.where(kmask_upd & mask, t_new, t)
 
 
-def _pick_tj(K: int, I: int) -> int:
-    """Largest power-of-two j-tile whose double-buffered working set fits
-    the ~16 MB scoped-VMEM budget: 10 input + 3 output (TJ,K,I) streams
-    double-buffered, one scratch, plus thin boundary/2-D streams."""
-    budget = 8 * 2**20
-    per_tj = 4 * I * (27 * K + 30)
+#: raised scoped-VMEM limit used by the shard_map'd loops (see
+#: ``_compiler_params`` for why the direct path must stay on the default)
+SHARDED_VMEM_LIMIT = 64 * 2**20
+SHARDED_VMEM_BUDGET = 56 * 2**20
+
+
+def _pick_tj(K: int, I: int, budget: int = 15 * 2**20) -> int:
+    """Largest power-of-two j-tile whose working set fits the scoped-VMEM
+    ``budget`` (default: Mosaic's 16 MiB default limit minus slack).  The
+    per-tj cost model matches Mosaic's observed accounting (~42 double-
+    buffered (1,K,I)-row streams + scratch + thin 2-D streams); the
+    shard_map'd loops pass ``SHARDED_VMEM_BUDGET`` together with a raised
+    ``vmem_limit``."""
+    per_tj = 4 * I * (44 * K + 40)
     for cand in (32, 16, 8, 4, 2):
         if cand * per_tj <= budget:
             return cand
@@ -226,19 +304,48 @@ def _row_view(tj: int, K: int, I: int, row_shift: int):
     )
 
 
+def _compiler_params(vmem_limit: int | None):
+    """Explicit ``vmem_limit_bytes`` is only set when the caller opted in
+    (``vmem_limit`` arg, or WRF_TPU_VMEM_LIMIT override).  On the v5e stack
+    tested, a raised limit on a DIRECT (non-shard_map) pallas invocation
+    makes Mosaic emit kernels that hard-fault the TPU worker at some shapes
+    (e.g. K=32, I=128 tiles) — the identical kernel under ``shard_map``
+    runs correctly, as does the direct call under the default limit.  The
+    shard_map'd loops therefore pass ``SHARDED_VMEM_LIMIT`` (validated) and
+    the direct driver path stays on the default."""
+    import os
+    limit = int(os.environ.get("WRF_TPU_VMEM_LIMIT", vmem_limit or 0))
+    if limit <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
+def _patch_edge_rows(out: jax.Array, inp: jax.Array, J: int) -> jax.Array:
+    """Copy the two never-computed edge rows (0 and J-1) from the input —
+    the unaliased-output analog of the pass-through the aliased outputs
+    get for free.  Compiles to two in-place row updates."""
+    out = out.at[0].set(inp[0])
+    return out.at[J - 1].set(inp[J - 1])
+
+
 def advance_mu_t_pallas(
     *,
     ww, ww_1, u, u_1, v, v_1,
     mu, mut, muu, muv,
-    t, t_1, t_ave, ft, mu_tend,
+    t, t_1, ft, mu_tend,
     rdx, rdy, dts, epssm,
     dnw, fnm, fnp, rdnw,
     msfuy, msfvx_inv, msftx, msfty,
     window,                       # (i0, i1, j0, j1) ints or traced scalars
     k0: int, k1: int, kde: int,   # static vertical bounds
+    t_ave=None,                   # required unless with_tave=False
     offsets=(0, 0),               # (j_off, i_off): this block's global origin
     wind_scale=1.0,               # multiplies u/v on load (see module doc)
+    fuse_uv: bool = False,        # run the advance_uv wind substep in-kernel
+    cs2: float = 0.0,             # linearized sound speed^2 (fuse_uv only)
+    with_tave: bool = True,       # stream t_ave in/out (skip inside scans)
     tj: int | None = None,
+    vmem_limit: int | None = None,  # raised scoped-VMEM limit (shard_map only)
     interpret: bool = False,
 ):
     """Fused small step; same contract as ``advance_mu_t_core``.
@@ -249,6 +356,10 @@ def advance_mu_t_pallas(
     ``window`` is in the global coordinates defined by ``offsets``.  For
     peak throughput pass ``J - 2`` a multiple of ``tj`` and ``I`` a multiple
     of 128 (the wrapper otherwise pads and un-pads around the call).
+
+    With ``fuse_uv`` the advance_uv wind update runs in-register first and
+    the result dict additionally carries the new ``u``/``v``; with
+    ``with_tave=False`` no ``t_ave`` is read or returned.
     """
     del kde  # the k-range masks encode the domain top; kept for API parity
     J, K, I = ww.shape
@@ -256,19 +367,30 @@ def advance_mu_t_pallas(
         tj = _pick_tj(K, I)
     padj = (-(J - 2)) % tj
 
-    f3 = [jnp.asarray(a, F) for a in (ww, ww_1, u, u_1, v, v_1, t, t_1, t_ave, ft)]
+    if with_tave and t_ave is None:
+        raise ValueError("t_ave is required when with_tave=True")
+    names3 = ["ww", "ww_1", "u", "u_1", "v", "v_1", "t", "t_1"]
+    arrs3 = [ww, ww_1, u, u_1, v, v_1, t, t_1]
+    if with_tave:
+        names3.append("t_ave")
+        arrs3.append(t_ave)
+    names3.append("ft")
+    arrs3.append(ft)
+
+    f3 = [jnp.asarray(a, F) for a in arrs3]
     f2 = [jnp.asarray(a, F)[:, None, :]
           for a in (mu, mut, muu, muv, mu_tend, msfuy, msfvx_inv, msftx, msfty)]
     if padj:
         f3 = [jnp.pad(a, ((0, padj), (0, 0), (0, 0))) for a in f3]
         f2 = [jnp.pad(a, ((0, padj), (0, 0), (0, 0))) for a in f2]
     Jp = J + padj
-    (ww, ww_1, u, u_1, v, v_1, t, t_1, t_ave, ft) = f3
+    d3 = dict(zip(names3, f3))
     (mu3, mut3, muu3, muv3, mutend3, msfuy3, msfvxi3, msftx3, msfty3) = f2
     kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
 
+    has_wscale = not (isinstance(wind_scale, (int, float)) and wind_scale == 1.0)
     scal = jnp.stack([jnp.asarray(s, F)
-                      for s in (rdx, rdy, dts, epssm, wind_scale)])[None, :]
+                      for s in (rdx, rdy, dts, epssm, wind_scale, cs2)])[None, :]
     i0, i1, j0, j1 = window
     j_off, i_off = offsets
     win = jnp.stack([jnp.asarray(x, jnp.int32)
@@ -279,41 +401,83 @@ def advance_mu_t_pallas(
     r3 = functools.partial(_row_view, tj, K, I)
     r2 = functools.partial(_row_view, tj, 1, I)
     sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    ssc = pl.BlockSpec((1, 5), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    ssc = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
     swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
-    in_specs = [
-        ssc, swin,
-        c3, c3, c3, c3, c3, c3, c3, c3, c3, c3,   # 10 3-D center views
-        r3(tj), r3(tj), r3(tj), r3(-1),            # v_hi, v1_hi, t1_hi, t1_lo
-        c2, c2, c2, c2, c2, c2, c2, c2, c2,        # 9 2-D center views
-        r2(tj), r2(tj),                            # muv_hi, msfvxi_hi
-        sk, sk, sk, sk,
-    ]
-    out_specs = [c3, c3, c3, c2, c2, c2, c2]
-    out_shape = [jax.ShapeDtypeStruct((Jp, K, I), F)] * 3 + \
-                [jax.ShapeDtypeStruct((Jp, 1, I), F)] * 4
+    n3 = len(f3)
+    grid_n = (Jp - 2) // tj
+    # v_hi: under fuse_uv, v is donated (aliased onto v_out), and XLA would
+    # defensively COPY the whole field every call if it also appeared as a
+    # second (row-view) operand.  Feed the hi rows from a strided gather of
+    # v instead (rows 1+tj, 1+2tj, ...; 1/tj of the field) — the kernel
+    # sees the identical (1, K, I) block and the copy disappears.
+    if fuse_uv:
+        v_hi_arr = d3["v"][1 + tj :: tj][:grid_n]
+        v_hi_spec = pl.BlockSpec((1, K, I), lambda g: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        v_hi_arr = d3["v"]
+        v_hi_spec = r3(tj)
+    in_specs = [ssc, swin]
+    in_specs += [c3] * n3                             # 3-D center views
+    in_specs += [v_hi_spec, r3(tj), r3(tj), r3(-1)]   # v_hi, v1_hi, t1_hi, t1_lo
+    if fuse_uv:
+        in_specs += [r2(-1), r2(tj)]                  # mu_lo, mu_hi
+    in_specs += [c2] * 9                              # 2-D center views
+    in_specs += [r2(tj), r2(tj)]                      # muv_hi, msfvxi_hi
+    in_specs += [sk, sk, sk, sk]
 
-    kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj)
-    # aliases: ww->ww_out, t->t_out, t_ave->tave_out, mu->mu_out
-    # (input indices: 0 scal, 1 win, 2 ww, .., 8 t, 10 t_ave, 16 mu)
-    ww_o, t_o, tave_o, mu_o, muave_o, muts_o, mudf_o = pl.pallas_call(
+    operands = [scal, win, *f3,
+                v_hi_arr, d3["v_1"], d3["t_1"], d3["t_1"]]
+    if fuse_uv:
+        operands += [mu3, mu3]
+    operands += [mu3, mut3, muu3, muv3, mutend3,
+                 msfuy3, msfvxi3, msftx3, msfty3,
+                 muv3, msfvxi3, *kvecs]
+
+    n_out3 = 3 if with_tave else 2
+    out_specs = [c3] * n_out3 + [c2] * 4
+    out_shape = [jax.ShapeDtypeStruct((Jp, K, I), F)] * n_out3 + \
+                [jax.ShapeDtypeStruct((Jp, 1, I), F)] * 4
+    if fuse_uv:
+        out_specs += [c3, c3]
+        out_shape += [jax.ShapeDtypeStruct((Jp, K, I), F)] * 2
+
+    # input/output aliases: legal only when no view can observe a written
+    # row through the pipeline (see module docstring).  ww/t/t_ave/u/v
+    # qualify; mu only when the fused wind substep does not read its
+    # backward neighbor row.
+    idx = {n: 2 + names3.index(n) for n in names3}
+    idx_mu = 2 + n3 + 4 + (2 if fuse_uv else 0)
+    out_idx_mu = n_out3
+    aliases = {idx["ww"]: 0, idx["t"]: 1}
+    if with_tave:
+        aliases[idx["t_ave"]] = 2
+    if not fuse_uv:
+        aliases[idx_mu] = out_idx_mu
+    else:
+        aliases[idx["u"]] = out_idx_mu + 4   # u_out
+        aliases[idx["v"]] = out_idx_mu + 5   # v_out
+
+    kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
+                               fuse_uv=fuse_uv, with_tave=with_tave,
+                               has_wscale=has_wscale)
+    outs = pl.pallas_call(
         kernel,
-        grid=((Jp - 2) // tj,),
+        grid=(grid_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((tj, K, I), F)],
-        input_output_aliases={2: 0, 8: 1, 10: 2, 16: 3},
+        input_output_aliases=aliases,
+        compiler_params=_compiler_params(vmem_limit),
         interpret=interpret,
-    )(
-        scal, win,
-        ww, ww_1, u, u_1, v, v_1, t, t_1, t_ave, ft,
-        v, v_1, t_1, t_1,
-        mu3, mut3, muu3, muv3, mutend3, msfuy3, msfvxi3, msftx3, msfty3,
-        muv3, msfvxi3,
-        *kvecs,
-    )
+    )(*operands)
+
+    it = iter(outs)
+    ww_o, t_o = next(it), next(it)
+    tave_o = next(it) if with_tave else None
+    mu_o, muave_o, muts_o, mudf_o = next(it), next(it), next(it), next(it)
 
     # pure 2-D outputs: zero the never-computed edge rows (cheap, 2-D only)
     zero2 = jnp.zeros((1, I), F)
@@ -322,12 +486,20 @@ def advance_mu_t_pallas(
         o = out[:, 0, :]
         return jnp.concatenate([zero2, o[1 : J - 1], zero2], axis=0)
 
-    return {
+    res = {
         "ww": ww_o[:J],
-        "mu": mu_o[:J, 0, :],
         "muave": edges2z(muave_o),
         "muts": edges2z(muts_o),
         "mudf": edges2z(mudf_o),
         "t": t_o[:J],
-        "t_ave": tave_o[:J],
     }
+    if with_tave:
+        res["t_ave"] = tave_o[:J]
+    if fuse_uv:
+        u_o, v_o = next(it), next(it)
+        res["mu"] = _patch_edge_rows(mu_o[:, 0, :], mu3[:, 0, :], J)[:J]
+        res["u"] = u_o[:J]   # edge rows pass through via aliasing
+        res["v"] = v_o[:J]
+    else:
+        res["mu"] = mu_o[:J, 0, :]
+    return res

@@ -47,7 +47,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..grid import ConfigFlags, GridBounds
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
-from ..ops.advance_mu_t_pallas import _pick_tj, advance_mu_t_pallas
+from ..ops.advance_mu_t_pallas import (
+    SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
+)
 from . import halo
 from .mesh import replicated, sharding2, sharding3
 
@@ -144,7 +146,7 @@ class ShardedAdvanceMuT:
                 padded[name] = arrs[name]
 
             # pallas wants (J-2) % tj == 0: pad once, outside the loop
-            tj_loc = tj or _pick_tj(K, ni_loc + 2)
+            tj_loc = tj or _pick_tj(K, ni_loc + 2, budget=SHARDED_VMEM_BUDGET)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in FIELDS_3D:
@@ -159,12 +161,14 @@ class ShardedAdvanceMuT:
             i0, i1, j0, j1 = window[:4]
 
             if kernel == "pallas":
-                def step_fn(ins, wscale):
+                def step_fn(ins, wscale, with_tave=True):
                     return advance_mu_t_pallas(
                         **ins, **scalars,
                         window=(i0, i1, j0, j1), offsets=(j_off, i_off),
                         wind_scale=wscale, k0=k0, k1=k1, kde=nz - 1,
-                        tj=tj_loc, interpret=interpret,
+                        with_tave=with_tave,
+                        tj=tj_loc, vmem_limit=SHARDED_VMEM_LIMIT,
+                        interpret=interpret,
                     )
             else:
                 i_idx = i_off + jnp.arange(ni_loc + 2)
@@ -172,25 +176,32 @@ class ShardedAdvanceMuT:
                 i_mask = (i_idx >= i0) & (i_idx <= i1)
                 j_mask = (j_idx >= j0) & (j_idx <= j1)
 
-                def step_fn(ins, wscale):
+                def step_fn(ins, wscale, with_tave=True):
+                    del with_tave  # XLA path always streams t_ave (cheap there)
                     ins = {**ins, "u": ins["u"] * wscale, "v": ins["v"] * wscale}
                     return advance_mu_t_impl(
                         **ins, **scalars, i_mask=i_mask, j_mask=j_mask,
                         k0=k0, k1=k1, kde=nz - 1,
                     )
 
-            const = {k: v for k, v in padded.items() if k not in STATE_KEYS}
-            state0 = {k: padded[k] for k in STATE_KEYS}
+            # t_ave is pointwise t_old and never read back: the pallas path
+            # drops its two HBM streams on every scan substep and produces it
+            # only on the final call (masked-out cells keep the original).
+            carry_keys = (("ww", "mu", "t") if kernel == "pallas"
+                          else STATE_KEYS)
+            const = {k: v for k, v in padded.items() if k not in carry_keys}
+            state0 = {k: padded[k] for k in carry_keys}
 
             def wscale_at(n):
                 if not vary_winds:
-                    return jnp.float32(1.0)
+                    return 1.0  # static: the kernel skips the multiply
                 return jnp.float32(1.0) + jnp.float32(1e-7) * n.astype(F)
 
             if n_steps > 1:
                 def body(state, n):
-                    out = step_fn({**const, **state}, wscale_at(n))
-                    return {k: out[k] for k in STATE_KEYS}, None
+                    out = step_fn({**const, **state}, wscale_at(n),
+                                  with_tave=False)
+                    return {k: out[k] for k in carry_keys}, None
 
                 state, _ = jax.lax.scan(body, state0, jnp.arange(n_steps - 1))
             else:
