@@ -24,7 +24,8 @@ from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
 def run_loop(cls, mesh, case, nx, ny, nz, steps, tj, **kw):
     loop = cls(mesh, nx, ny, nz, case.flags, n_steps=steps, tj=tj, **kw)
-    arrays = loop.prepare(case_to_domain(case))
+    arrays = loop.prepare(case_to_domain(case, with_w=True)
+                          if kw.get("with_w") else case_to_domain(case))
     scalars = (case.rdx, case.rdy, case.dts, case.epssm)
 
     def run():
@@ -70,6 +71,12 @@ def main():
     if only in ("", "coupled"):
         per = marginal(SmallStepLoop, mesh, case, nx, ny, nz, n1, n2, tj)
         print(f"coupled   {nx}x{ny}x{nz} tj={tj}: {per*1e3:.3f} ms/substep, "
+              f"{pts/per/1e9:.2f} G pts/s", flush=True)
+
+    if only == "with_w":
+        per = marginal(SmallStepLoop, mesh, case, nx, ny, nz, n1, n2, tj,
+                       with_w=True)
+        print(f"with_w    {nx}x{ny}x{nz} tj={tj}: {per*1e3:.3f} ms/substep, "
               f"{pts/per/1e9:.2f} G pts/s", flush=True)
 
     if only in ("", "mu_t"):

@@ -46,6 +46,10 @@ INPUT_FIELDS_2D = (
     "grid_msfvx_inv", "grid_msftx", "grid_msfty", "grid_mu_2",
 )
 INPUT_FIELDS_1D = ("grid_dnw", "grid_fnm", "grid_fnp", "grid_rdnw")
+#: vertical-acoustics extension fields (advance_w substep; absent in older
+#: fixture dirs — read_case derives/zeroes them)
+W_FIELDS_3D = ("grid_w", "grid_pp")
+W_FIELDS_1D = ("grid_rdn",)
 OUTPUT_FIELDS = (
     "grid_ww_output", "ww1_output", "grid_t_2_output", "t_2save_output",
     "grid_mu_2_output", "muave_output", "grid_muts_output",
@@ -175,7 +179,13 @@ def make_case(
         # small-step omega
         "grid_ww": _smooth3(rng, s3, 1e-1),
         "ww1": _smooth3(rng, s3, 1e-3),
+        # vertical-acoustics extension (advance_w): vertical velocity and
+        # pressure-like perturbation on w levels
+        "grid_w": _smooth3(rng, s3, 1e0),
+        "grid_pp": _smooth3(rng, s3, 1e2),
     }
+    from ..ops.advance_w import rdn_from_dnw
+    fields["grid_rdn"] = rdn_from_dnw(dnw)
     return Case(
         bounds=b, flags=flags,
         rdx=1.0 / 12000.0, rdy=1.0 / 12000.0, dts=12.0 / 6.0, epssm=0.1,
@@ -250,6 +260,16 @@ def read_case(fixture_dir: str | Path) -> tuple[Case, int]:
         fields[name] = codec.read_field(d / f"{name}.bin", b.shape2)
     for name in INPUT_FIELDS_3D:
         fields[name] = codec.read_field(d / f"{name}.bin", b.shape3)
+    for name in W_FIELDS_3D:   # older fixture dirs predate the w substep
+        if (d / f"{name}.bin").exists():
+            fields[name] = codec.read_field(d / f"{name}.bin", b.shape3)
+        else:
+            fields[name] = np.zeros(b.shape3, F)
+    if (d / "grid_rdn.bin").exists():
+        fields["grid_rdn"] = codec.read_field(d / "grid_rdn.bin", (b.kdim,))
+    else:
+        from ..ops.advance_w import rdn_from_dnw
+        fields["grid_rdn"] = rdn_from_dnw(fields["grid_dnw"])
     case = Case(
         bounds=b, flags=flags,
         rdx=codec.read_real(d / "grid_rdx.bin"),

@@ -39,6 +39,7 @@ from ..ops.advance_mu_t_pallas import (
     SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
 )
 from ..ops.advance_uv import DEFAULT_CS2, advance_uv_jnp, advance_uv_numpy
+from ..ops.advance_w import DEFAULT_CW, DEFAULT_GW, advance_w_jnp, advance_w_numpy
 from ..ops.reference_numpy import advance_mu_t_numpy
 from ..parallel import halo
 from ..parallel.mesh import replicated, sharding2, sharding3
@@ -52,13 +53,23 @@ F = jnp.float32
 STATE_KEYS = ("ww", "mu", "t", "t_ave", "u", "v")
 
 
-def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2):
-    """Golden-path acoustic loop on memory-window arrays (single tile)."""
+def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2,
+                      with_w: bool = False,
+                      cw: float = DEFAULT_CW, gw: float = DEFAULT_GW):
+    """Golden-path acoustic loop on memory-window arrays (single tile).
+
+    With ``with_w`` each substep also runs the vertically-implicit w/pp
+    substep (advance_w) on the theta field the mu/t substep just produced.
+    """
     kw = case.kernel_kwargs()
-    i0, i1, j0, j1, _, _ = case.bounds.loop_bounds(case.flags)
+    i0, i1, j0, j1, k0, k1 = case.bounds.loop_bounds(case.flags)
     window = (i0, i1, j0, j1)
     state = {k: np.asarray(kw[k]) for k in STATE_KEYS}
     out = dict(state)
+    if with_w:
+        f = case.fields
+        wst = {"w": np.asarray(f["grid_w"]), "pp": np.asarray(f["grid_pp"])}
+        rdn = np.asarray(f["grid_rdn"])
     for _ in range(steps):
         u, v = advance_uv_numpy(
             u=state["u"], v=state["v"], mu=state["mu"],
@@ -68,9 +79,18 @@ def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2):
             window=window, cs2=cs2,
         )
         out = advance_mu_t_numpy(**{**kw, **state, "u": u, "v": v})
+        if with_w:
+            wst["w"], wst["pp"] = advance_w_numpy(
+                w=wst["w"], pp=wst["pp"], t=out["t"], rdn=rdn,
+                rdnw=kw["rdnw"], dts=kw["dts"], epssm=kw["epssm"],
+                window=window, k0=k0, k1=k1, cw=cw, gw=gw,
+            )
         state = {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
                  "u": u, "v": v}
-    return {**out, "u": state["u"], "v": state["v"]}
+    res = {**out, "u": state["u"], "v": state["v"]}
+    if with_w:
+        res.update(wst)
+    return res
 
 
 class SmallStepLoop:
@@ -84,25 +104,34 @@ class SmallStepLoop:
     def __init__(self, mesh: Mesh, nx: int, ny: int, nz: int,
                  flags: ConfigFlags, n_steps: int = 1,
                  kernel: str = "pallas", cs2: float = DEFAULT_CS2,
+                 with_w: bool = False,
+                 cw: float = DEFAULT_CW, gw: float = DEFAULT_GW,
                  tj: int | None = None, interpret: bool | None = None):
         self.mesh = mesh
         self.domain = (nx, ny, nz)
+        self.with_w = with_w
         window = domain_window(nx, ny, nz, flags)
         self.window = window
         k0, k1 = window[4], window[5]
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
 
+        F3 = FIELDS_3D + (("w", "pp") if with_w else ())
+        F1 = FIELDS_1D + (("rdn",) if with_w else ())
+        self._f3, self._f1 = F3, F1
         s3, s2, rep = sharding3(mesh), sharding2(mesh), replicated(mesh)
-        self.shardings = {**{n: s3 for n in FIELDS_3D},
+        self.shardings = {**{n: s3 for n in F3},
                           **{n: s2 for n in FIELDS_2D},
-                          **{n: rep for n in FIELDS_1D}}
+                          **{n: rep for n in F1}}
         in_specs = ({n: self.shardings[n].spec for n in
-                     FIELDS_3D + FIELDS_2D + FIELDS_1D},
+                     F3 + FIELDS_2D + F1},
                     {n: P() for n in SCALARS})
         out_names = ("ww", "mu", "muave", "muts", "mudf", "t", "t_ave", "u", "v")
+        if with_w:
+            out_names += ("w", "pp")
         out_specs = {n: (P("j", None, "i") if n in
-                         ("ww", "t", "t_ave", "u", "v") else P("j", "i"))
+                         ("ww", "t", "t_ave", "u", "v", "w", "pp")
+                         else P("j", "i"))
                      for n in out_names}
         j_shards, i_shards = mesh.shape["j"], mesh.shape["i"]
 
@@ -111,17 +140,26 @@ class SmallStepLoop:
             j_sh, i_sh = j_shards > 1, i_shards > 1
 
             padded = {}
-            for name in FIELDS_3D:
+            for name in F3:
                 padded[name] = halo.halo3(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
             for name in FIELDS_2D:
                 padded[name] = halo.halo2(arrs[name], j_sharded=j_sh, i_sharded=i_sh)
-            for name in FIELDS_1D:
+            for name in F1:
                 padded[name] = arrs[name]
 
-            tj_loc = tj or _pick_tj(K, ni_loc + 2, budget=SHARDED_VMEM_BUDGET)
+            # the raised scoped-VMEM limit is validated only at wide-I
+            # shapes (>= 384 lanes, where it buys tj >= 4); at narrow
+            # shapes an explicit limit can fault the worker (see
+            # _compiler_params), and the default budget already gives
+            # a large tj there.
+            use_limit = ni_loc + 2 >= 384
+            vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
+            tj_loc = tj or _pick_tj(
+                K, ni_loc + 2,
+                **({'budget': SHARDED_VMEM_BUDGET} if use_limit else {}))
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
-                for name in FIELDS_3D:
+                for name in F3:
                     padded[name] = jnp.pad(padded[name], ((0, padj), (0, 0), (0, 0)))
                 for name in FIELDS_2D:
                     padded[name] = jnp.pad(padded[name], ((0, padj), (0, 0)))
@@ -139,7 +177,8 @@ class SmallStepLoop:
                         window=(i0, i1, j0, j1), offsets=offs,
                         k0=k0, k1=k1, kde=nz - 1, tj=tj_loc,
                         fuse_uv=True, cs2=cs2, with_tave=with_tave,
-                        vmem_limit=SHARDED_VMEM_LIMIT,
+                        fuse_w=with_w, cw=cw, gw=gw,
+                        vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
             else:
@@ -170,6 +209,8 @@ class SmallStepLoop:
 
             carry_keys = (("ww", "mu", "t", "u", "v") if kernel == "pallas"
                           else STATE_KEYS)
+            if with_w:
+                carry_keys = carry_keys + ("w", "pp")
             const = {k: v for k, v in padded.items() if k not in carry_keys}
             state0 = {k: padded[k] for k in carry_keys}
 
@@ -201,10 +242,22 @@ class SmallStepLoop:
                     )
                     # the winds changed: advance_mu_t reads u(i+1)/v(j+1)
                     u, v = refresh3(u), refresh3(v)
-                    out = mu_t_step({**const, **state,
-                                     "mu": mu_p, "u": u, "v": v})
-                    return {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
-                            "u": u, "v": v}, {**out, "u": u, "v": v}
+                    ins = {k: v_ for k, v_ in {**const, **state}.items()
+                           if k not in ("w", "pp", "rdn")}
+                    out = mu_t_step({**ins, "mu": mu_p, "u": u, "v": v})
+                    out = {**out, "u": u, "v": v}
+                    if with_w:
+                        # column-local: no halo refresh needed
+                        w_n, pp_n = advance_w_jnp(
+                            w=state["w"], pp=state["pp"], t=out["t"],
+                            rdn=const["rdn"], rdnw=const["rdnw"],
+                            dts=scalars["dts"], epssm=scalars["epssm"],
+                            window=(i0, i1, j0, j1), offsets=offs,
+                            k0=k0, k1=k1, cw=cw, gw=gw,
+                        )
+                        out = {**out, "w": w_n, "pp": pp_n}
+                    return ({k: out[k] for k in set(carry_keys) | {"t_ave"}},
+                            out)
 
             if n_steps > 1:
                 def body(state, _):
@@ -232,11 +285,11 @@ class SmallStepLoop:
 
     def prepare(self, arrays):
         out = {}
-        for name in FIELDS_3D + FIELDS_2D:
+        for name in self._f3 + FIELDS_2D:
             out[name] = jax.device_put(
                 pad_to_mesh(arrays[name], self.mesh), self.shardings[name]
             )
-        for name in FIELDS_1D:
+        for name in self._f1:
             out[name] = jax.device_put(
                 jnp.asarray(arrays[name], F), self.shardings[name]
             )

@@ -74,6 +74,10 @@ def _get_lib() -> ctypes.CDLL:
         _lib.wrf_advance_uv.argtypes = (
             [ctypes.POINTER(_Window)] + [fp] * 7 + [ctypes.c_float] * 4
         )
+        _lib.wrf_advance_w.restype = ctypes.c_int32
+        _lib.wrf_advance_w.argtypes = (
+            [ctypes.POINTER(_Window)] + [fp] * 5 + [ctypes.c_float] * 4
+        )
         _lib.wrf_compare.restype = None
         _lib.wrf_compare.argtypes = [fp, fp, ctypes.c_int64,
                                      ctypes.POINTER(_CompareResult)]
@@ -215,6 +219,44 @@ def advance_uv_native(
     if rc != 0:
         raise RuntimeError(f"wrf_advance_uv failed with rc={rc}")
     return u_o, v_o
+
+
+def advance_w_native(
+    *,
+    w: np.ndarray,
+    pp: np.ndarray,
+    t: np.ndarray,
+    rdn: np.ndarray,
+    rdnw: np.ndarray,
+    dts: float,
+    epssm: float,
+    cw: float,
+    gw: float,
+    flags: ConfigFlags,
+    bounds: GridBounds,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native vertically-implicit w/pp substep; same contract as
+    :func:`wrf_tpu.ops.advance_w.advance_w_numpy` (functional)."""
+    lib = _get_lib()
+    i0, i1, j0, j1, k0, k1 = bounds.loop_bounds(flags)
+    win = _Window(
+        jdim=bounds.jdim, kdim=bounds.kdim, idim=bounds.idim,
+        i0=i0, i1=i1, j0=j0, j1=j1, k0=k0, k1=k1,
+        kde=bounds.mem(bounds.kde, "k"),
+    )
+    w_o = _c_contig_f32(w, "w", writable=True)
+    pp_o = _c_contig_f32(pp, "pp", writable=True)
+    ins = {name: _c_contig_f32(arr, name) for name, arr in dict(
+        t=t, rdn=rdn, rdnw=rdnw).items()}
+    rc = lib.wrf_advance_w(
+        ctypes.byref(win), _fp(w_o), _fp(pp_o),
+        _fp(ins["t"]), _fp(ins["rdn"]), _fp(ins["rdnw"]),
+        ctypes.c_float(dts), ctypes.c_float(epssm),
+        ctypes.c_float(cw), ctypes.c_float(gw),
+    )
+    if rc != 0:
+        raise RuntimeError(f"wrf_advance_w failed with rc={rc}")
+    return w_o, pp_o
 
 
 @dataclasses.dataclass(frozen=True)

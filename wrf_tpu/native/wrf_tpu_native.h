@@ -57,6 +57,16 @@ int32_t wrf_advance_uv(
     const float* msfuy, const float* msfvx_inv,
     float rdx, float rdy, float dts, float cs2);
 
+// Vertically-implicit acoustic w/pressure substep (advance_w): per-column
+// tridiagonal Thomas solve of the epssm-off-centered linearized vertical
+// acoustic system; w and pp updated in place on the mass window, theta
+// coupling gw*t on the RHS (see wrf_tpu/ops/advance_w.py for the scheme).
+int32_t wrf_advance_w(
+    const wrf_window* w,
+    float* w_field, float* pp, const float* t,
+    const float* rdn, const float* rdnw,
+    float dts, float epssm, float cw, float gw);
+
 // --- comparator suite (reference metrics: equal/diff counts, max rel/abs
 //     error, max ULP distance, RMSE; advance_mu_t_driver.c:543-653) -------
 typedef struct {

@@ -84,7 +84,7 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
-            has_wscale: bool):
+            fuse_w: bool, has_wscale: bool):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
     scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, wind_scale, cs2
@@ -96,6 +96,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     t_ref, t1_ref = next(it), next(it)
     tave_ref = next(it) if with_tave else None
     ft_ref = next(it)
+    if fuse_w:
+        w_ref, pp_ref = next(it), next(it)   # vertical-acoustics state
     # --- 3-D boundary rows (1, K, I) --------------------------------------
     v_hi_ref, v1_hi_ref = next(it), next(it)   # row after the slab
     t1_hi_ref, t1_lo_ref = next(it), next(it)  # rows after/before the slab
@@ -111,14 +113,23 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     muv_hi_ref, msfvxi_hi_ref = next(it), next(it)
     # --- 1-D vertical vectors (1, K) --------------------------------------
     dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
+    if fuse_w:
+        # Thomas coefficients (SMEM, scalar-indexed in the sweeps) and
+        # rhs row factors (VMEM) — precomputed by the wrapper from rdn/rdnw
+        aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
+        crdn_ref, erdn_ref = next(it), next(it)
     # --- outputs (TJ, K, I) / (TJ, 1, I) at the slab rows ------------------
     ww_out, t_out = next(it), next(it)
     tave_out = next(it) if with_tave else None
     mu_out, muave_out, muts_out, mudf_out = next(it), next(it), next(it), next(it)
     if fuse_uv:
         u_out, v_out = next(it), next(it)
+    if fuse_w:
+        w_out, pp_out = next(it), next(it)
     # --- scratch -----------------------------------------------------------
     scan_ref = next(it)   # (TJ, K, I) VMEM: in-place ww vertical scan
+    if fuse_w:
+        cpw_ref, dpw_ref = next(it), next(it)   # Thomas sweep state
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, epssm = scal_ref[0, 2], scal_ref[0, 3]
@@ -263,7 +274,63 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     fx = roll_i(u, -1) * (roll_i(t1, -1) + t1) - u * (t1 + roll_i(t1, 1))
     horiz = msftx_ref[:] * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
     t_new = t_half - (dts * msfty) * (horiz + vert)
-    t_out[:] = jnp.where(kmask_upd & mask, t_new, t)
+    t_full = jnp.where(kmask_upd & mask, t_new, t)
+    t_out[:] = t_full
+
+    # ---- fused vertically-implicit w/pp substep (advance_w) -----------
+    # Per-column tridiagonal Thomas solve of the off-centered linearized
+    # vertical acoustic system (see ops/advance_w.py for the scheme and
+    # the FP association contract).  Reuses scan_ref as rhs storage; the
+    # two sweeps are sequential in k over VMEM rows, like the ww scan.
+    if fuse_w:
+        c_w = scal_ref[0, 6]
+        g_t = scal_ref[0, 7]
+        beta = F(0.5) * (F(1.0) + epssm)
+        alfa = F(1.0) - beta
+        wf = w_ref[:]
+        ppf = pp_ref[:]
+        k_int = _k_range_mask(K, k0 + 1, k1 + 1)   # interior interfaces
+        crdn = crdn_ref[:].reshape(1, K, 1)
+        erdn = erdn_ref[:].reshape(1, K, 1)
+        rdnw3 = rdnw_ref[:].reshape(1, K, 1)
+        w_act = jnp.where(k_int, wf, F(0.0))       # rigid surface and lid
+        dvz = jnp.where(kmask_upd,
+                        rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
+        scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
+                       + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
+
+        zrow = jnp.zeros_like(wf[:, :1, :])
+        cpw_ref[:, k0 : k0 + 1, :] = zrow
+        dpw_ref[:, k0 : k0 + 1, :] = zrow
+
+        def w_fwd(k, _):
+            ak = aw_ref[0, k]
+            denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
+            cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
+            dpw_ref[:, pl.ds(k, 1), :] = (
+                scan_ref[:, pl.ds(k, 1), :]
+                + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
+            ) / denom
+            return 0
+
+        jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+
+        def w_bwd(m, _):
+            k = k1 - 1 - m
+            dpw_ref[:, pl.ds(k, 1), :] = (
+                dpw_ref[:, pl.ds(k, 1), :]
+                - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+        w_sol = dpw_ref[:]
+        w_out[:] = jnp.where(k_int & mask, w_sol, wf)
+        wn_act = jnp.where(k_int, w_sol, F(0.0))
+        dvz_new = jnp.where(kmask_upd,
+                            rdnw3 * (roll_k(wn_act, -1) - wn_act), F(0.0))
+        pp_out[:] = jnp.where(kmask_upd & mask,
+                              ppf - c_w * (beta * dvz_new + alfa * dvz), ppf)
 
 
 #: raised scoped-VMEM limit used by the shard_map'd loops (see
@@ -343,6 +410,10 @@ def advance_mu_t_pallas(
     wind_scale=1.0,               # multiplies u/v on load (see module doc)
     fuse_uv: bool = False,        # run the advance_uv wind substep in-kernel
     cs2: float = 0.0,             # linearized sound speed^2 (fuse_uv only)
+    fuse_w: bool = False,         # run the implicit w/pp substep in-kernel
+    w=None, pp=None, rdn=None,    # vertical-acoustics state (fuse_w only)
+    cw: float = 0.0,              # linearized vertical sound speed (fuse_w)
+    gw: float = 0.0,              # theta->w coupling (fuse_w)
     with_tave: bool = True,       # stream t_ave in/out (skip inside scans)
     tj: int | None = None,
     vmem_limit: int | None = None,  # raised scoped-VMEM limit (shard_map only)
@@ -383,14 +454,44 @@ def advance_mu_t_pallas(
     if padj:
         f3 = [jnp.pad(a, ((0, padj), (0, 0), (0, 0))) for a in f3]
         f2 = [jnp.pad(a, ((0, padj), (0, 0), (0, 0))) for a in f2]
+    if fuse_w:
+        if w is None or pp is None or rdn is None:
+            raise ValueError("fuse_w requires w, pp and rdn")
+        w3a = jnp.asarray(w, F)
+        pp3a = jnp.asarray(pp, F)
+        if padj:
+            w3a = jnp.pad(w3a, ((0, padj), (0, 0), (0, 0)))
+            pp3a = jnp.pad(pp3a, ((0, padj), (0, 0), (0, 0)))
     Jp = J + padj
     d3 = dict(zip(names3, f3))
     (mu3, mut3, muu3, muv3, mutend3, msfuy3, msfvxi3, msftx3, msfty3) = f2
     kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
 
     has_wscale = not (isinstance(wind_scale, (int, float)) and wind_scale == 1.0)
+    if fuse_w:
+        # Thomas coefficients, FP association matching advance_w_numpy
+        dts_f = jnp.asarray(dts, F)
+        epssm_f = jnp.asarray(epssm, F)
+        c_w = jnp.asarray(cw, F) * dts_f
+        g_t = dts_f * jnp.asarray(gw, F)
+        beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
+        alfa_h = jnp.float32(1.0) - beta_h
+        cb = c_w * beta_h
+        rdn_a = jnp.asarray(rdn, F)
+        rdnw_a = jnp.asarray(rdnw, F)
+        kv = jnp.arange(K)
+        kintv = (kv > k0) & (kv <= k1)
+        a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
+                          jnp.float32(0.0))
+        b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a, jnp.float32(0.0))
+        diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
+        crdn_vec = c_w * rdn_a
+        erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+    else:
+        c_w = g_t = 0.0
     scal = jnp.stack([jnp.asarray(s, F)
-                      for s in (rdx, rdy, dts, epssm, wind_scale, cs2)])[None, :]
+                      for s in (rdx, rdy, dts, epssm, wind_scale, cs2,
+                                c_w, g_t)])[None, :]
     i0, i1, j0, j1 = window
     j_off, i_off = offsets
     win = jnp.stack([jnp.asarray(x, jnp.int32)
@@ -401,7 +502,7 @@ def advance_mu_t_pallas(
     r3 = functools.partial(_row_view, tj, K, I)
     r2 = functools.partial(_row_view, tj, 1, I)
     sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    ssc = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    ssc = pl.BlockSpec((1, 8), lambda g: (0, 0), memory_space=pltpu.SMEM)
     swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
     n3 = len(f3)
@@ -418,22 +519,32 @@ def advance_mu_t_pallas(
     else:
         v_hi_arr = d3["v"]
         v_hi_spec = r3(tj)
+    smk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.SMEM)
     in_specs = [ssc, swin]
     in_specs += [c3] * n3                             # 3-D center views
+    if fuse_w:
+        in_specs += [c3, c3]                          # w, pp
     in_specs += [v_hi_spec, r3(tj), r3(tj), r3(-1)]   # v_hi, v1_hi, t1_hi, t1_lo
     if fuse_uv:
         in_specs += [r2(-1), r2(tj)]                  # mu_lo, mu_hi
     in_specs += [c2] * 9                              # 2-D center views
     in_specs += [r2(tj), r2(tj)]                      # muv_hi, msfvxi_hi
     in_specs += [sk, sk, sk, sk]
+    if fuse_w:
+        in_specs += [smk, smk, smk, sk, sk]           # a, b, diag, crdn, erdn
 
-    operands = [scal, win, *f3,
-                v_hi_arr, d3["v_1"], d3["t_1"], d3["t_1"]]
+    operands = [scal, win, *f3]
+    if fuse_w:
+        operands += [w3a, pp3a]
+    operands += [v_hi_arr, d3["v_1"], d3["t_1"], d3["t_1"]]
     if fuse_uv:
         operands += [mu3, mu3]
     operands += [mu3, mut3, muu3, muv3, mutend3,
                  msfuy3, msfvxi3, msftx3, msfty3,
                  muv3, msfvxi3, *kvecs]
+    if fuse_w:
+        operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
+                     crdn_vec[None, :], erdn_vec[None, :]]
 
     n_out3 = 3 if with_tave else 2
     out_specs = [c3] * n_out3 + [c2] * 4
@@ -442,13 +553,17 @@ def advance_mu_t_pallas(
     if fuse_uv:
         out_specs += [c3, c3]
         out_shape += [jax.ShapeDtypeStruct((Jp, K, I), F)] * 2
+    if fuse_w:
+        out_specs += [c3, c3]
+        out_shape += [jax.ShapeDtypeStruct((Jp, K, I), F)] * 2
 
     # input/output aliases: legal only when no view can observe a written
     # row through the pipeline (see module docstring).  ww/t/t_ave/u/v
     # qualify; mu only when the fused wind substep does not read its
     # backward neighbor row.
     idx = {n: 2 + names3.index(n) for n in names3}
-    idx_mu = 2 + n3 + 4 + (2 if fuse_uv else 0)
+    nw = 2 if fuse_w else 0
+    idx_mu = 2 + n3 + nw + 4 + (2 if fuse_uv else 0)
     out_idx_mu = n_out3
     aliases = {idx["ww"]: 0, idx["t"]: 1}
     if with_tave:
@@ -458,17 +573,21 @@ def advance_mu_t_pallas(
     else:
         aliases[idx["u"]] = out_idx_mu + 4   # u_out
         aliases[idx["v"]] = out_idx_mu + 5   # v_out
+    if fuse_w:
+        out_idx_w = n_out3 + 4 + (2 if fuse_uv else 0)
+        aliases[2 + n3] = out_idx_w          # w -> w_out
+        aliases[2 + n3 + 1] = out_idx_w + 1  # pp -> pp_out
 
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                fuse_uv=fuse_uv, with_tave=with_tave,
-                               has_wscale=has_wscale)
+                               fuse_w=fuse_w, has_wscale=has_wscale)
     outs = pl.pallas_call(
         kernel,
         grid=(grid_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, I), F)],
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (3 if fuse_w else 1),
         input_output_aliases=aliases,
         compiler_params=_compiler_params(vmem_limit),
         interpret=interpret,
@@ -502,4 +621,8 @@ def advance_mu_t_pallas(
         res["v"] = v_o[:J]
     else:
         res["mu"] = mu_o[:J, 0, :]
+    if fuse_w:
+        w_o, pp_o = next(it), next(it)
+        res["w"] = w_o[:J]
+        res["pp"] = pp_o[:J]
     return res

@@ -146,7 +146,16 @@ class ShardedAdvanceMuT:
                 padded[name] = arrs[name]
 
             # pallas wants (J-2) % tj == 0: pad once, outside the loop
-            tj_loc = tj or _pick_tj(K, ni_loc + 2, budget=SHARDED_VMEM_BUDGET)
+            # the raised scoped-VMEM limit is validated only at wide-I
+            # shapes (>= 384 lanes, where it buys tj >= 4); at narrow
+            # shapes an explicit limit can fault the worker (see
+            # _compiler_params), and the default budget already gives
+            # a large tj there.
+            use_limit = ni_loc + 2 >= 384
+            vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
+            tj_loc = tj or _pick_tj(
+                K, ni_loc + 2,
+                **({'budget': SHARDED_VMEM_BUDGET} if use_limit else {}))
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in FIELDS_3D:
@@ -167,7 +176,7 @@ class ShardedAdvanceMuT:
                         window=(i0, i1, j0, j1), offsets=(j_off, i_off),
                         wind_scale=wscale, k0=k0, k1=k1, kde=nz - 1,
                         with_tave=with_tave,
-                        tj=tj_loc, vmem_limit=SHARDED_VMEM_LIMIT,
+                        tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
             else:
@@ -256,15 +265,23 @@ class ShardedAdvanceMuT:
 # ---------------------------------------------------------------------- #
 # Memory-window <-> ring-shaped conversion (fixture interop)
 # ---------------------------------------------------------------------- #
-def case_to_domain(case) -> dict[str, np.ndarray]:
+def case_to_domain(case, with_w: bool = False) -> dict[str, np.ndarray]:
     """Extract ring-shaped arrays (staggered extents + the 1-cell boundary
-    ring of lateral-BC data) from a fixture Case's memory-window arrays."""
+    ring of lateral-BC data) from a fixture Case's memory-window arrays.
+    ``with_w`` additionally extracts the vertical-acoustics state
+    (w, pp, rdn) for the advance_w substep."""
     b = case.bounds
     j0, j1 = b.mem(b.jds, "j") - RING, b.mem(b.jde, "j") + RING
     i0, i1 = b.mem(b.ids, "i") - RING, b.mem(b.ide, "i") + RING
     kw = case.kernel_kwargs()
+    if with_w:
+        f = case.fields
+        kw = {**kw, "w": f["grid_w"], "pp": f["grid_pp"], "rdn": f["grid_rdn"]}
+    names = FIELDS_3D + FIELDS_2D + FIELDS_1D
+    if with_w:
+        names = names + ("w", "pp", "rdn")
     out = {}
-    for name in FIELDS_3D + FIELDS_2D + FIELDS_1D:
+    for name in names:
         arr = np.asarray(kw[name])
         if arr.ndim == 3:
             out[name] = arr[j0 : j1 + 1, :, i0 : i1 + 1]
