@@ -21,6 +21,16 @@ def test_driver_xla_tier(tmp_path, small_case, capsys):
     assert rc == 0
 
 
+def test_driver_coupled_tier(tmp_path, small_case, capsys):
+    """The coupled-loop tier verifies against the in-process golden loop
+    (uv + mu/t + implicit w), mesh-decomposed."""
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=3)
+    rc = driver.main([str(d), "--tier", "coupled", "--with-w", "--mesh", "2x2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "w (golden loop)" in out and "pp (golden loop)" in out
+
+
 def test_driver_steps_override_fails(tmp_path, small_case, capsys):
     """Wrong step count must be detected by the comparators."""
     d = fixtures.write_case(small_case, tmp_path / "fx", steps=3)

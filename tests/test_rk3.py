@@ -34,6 +34,28 @@ def test_rk3_matches_golden(small_case):
                      rtol=5e-5, atol_scale=2e-6)
 
 
+def test_rk3_with_w_matches_golden(small_case):
+    """RK3 over the full substep (uv + mu/t + implicit w), pallas kernel."""
+    case = small_case
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+    rk3 = RK3Integrator(mesh, nx, ny, nz, case.flags, acoustic_steps=4,
+                        kernel="pallas", with_w=True)
+    arrays = rk3.prepare(case_to_domain(case, with_w=True))
+    dt = case.dts * 4
+    out = rk3.step(arrays, case.rdx, case.rdy, dt, case.epssm)
+
+    gold = rk3_golden(case, acoustic_steps=4, dt=dt, with_w=True)
+    kw = case.kernel_kwargs()
+    like_of = {"w": case.fields["grid_w"], "pp": case.fields["grid_pp"]}
+    got = {}
+    for name in ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp"):
+        like = np.asarray(like_of.get(name, kw.get(name, 0)))
+        got[name] = embed_domain(np.asarray(out[name]), like, case.bounds)
+    outputs_allclose(got, {k: gold[k] for k in got},
+                     rtol=5e-5, atol_scale=2e-6)
+
+
 def test_rk3_tendency_hook(small_case):
     """The hook can rescale the slow tendencies and sees provisional outputs."""
     case = small_case

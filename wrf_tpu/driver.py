@@ -12,7 +12,9 @@ Usage:
 
 Tiers: numpy (golden path), native (C++ oracle), xla, pallas
 (single-tile device paths), sharded-xla / sharded-pallas (mesh-decomposed,
-honours --mesh).
+honours --mesh), coupled / coupled-xla (the full acoustic small-step loop —
+uv + mu/t, plus the vertically-implicit w substep under --with-w — verified
+against the in-process golden loop; honours --mesh).
 """
 
 from __future__ import annotations
@@ -40,12 +42,48 @@ GOLDEN_FILES = {
 
 
 def run_tier(case, steps: int, tier: str, mesh_shape=None,
-             capture: bool = False):
-    """Run `steps` small steps on the chosen tier; returns (outputs, seconds).
+             capture: bool = False, with_w: bool = False):
+    """Run `steps` small steps on the chosen tier; returns
+    ``(outputs, seconds, golden_override)`` — ``golden_override`` is None
+    for tiers verified against the fixture goldens, or the in-process
+    golden outputs for the coupled-loop tiers.
 
     The timed window covers the step calls only, transfers excluded,
     matching the reference's timing policy."""
     kw = case.kernel_kwargs()
+
+    if tier.startswith("coupled"):
+        import jax
+        from .models.small_step import SmallStepLoop, small_step_golden
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded import case_to_domain, embed_domain
+        kernel = "xla" if tier.endswith("xla") else "pallas"
+        mesh = make_mesh(
+            jax.devices()[: mesh_shape[0] * mesh_shape[1]] if mesh_shape else None,
+            mesh_shape,
+        )
+        nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             kernel=kernel, with_w=with_w)
+        arrays = loop.prepare(case_to_domain(case, with_w=with_w))
+        out_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        t0 = time.perf_counter()
+        out_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        out_dom = {k: np.asarray(v) for k, v in out_dom.items()}
+        dt = time.perf_counter() - t0
+        gold = small_step_golden(case, steps, with_w=with_w)
+        like_of = {"w": "grid_w", "pp": "grid_pp"}
+        out = {}
+        for name, val in out_dom.items():
+            if name in ("ww", "mu", "t", "t_ave", "u", "v"):
+                like = np.asarray(kw[name])
+            elif name in like_of:
+                like = np.asarray(case.fields[like_of[name]])
+            else:
+                shape = case.bounds.shape3 if val.ndim == 3 else case.bounds.shape2
+                like = np.zeros(shape, dtype=np.float32)
+            out[name] = embed_domain(val, like, case.bounds)
+        return out, dt, gold
 
     if tier in ("numpy", "native"):
         if tier == "numpy":
@@ -58,7 +96,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         for _ in range(steps):
             out = fn(**{**kw, **state})
             state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
-        return out, time.perf_counter() - t0
+        return out, time.perf_counter() - t0, None
 
     if tier in ("xla", "pallas"):
         b, flags = case.bounds, case.flags
@@ -93,7 +131,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
             out = step({**arr, **state})
             state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
         out = {k: np.asarray(v) for k, v in out.items()}  # readback syncs
-        return out, time.perf_counter() - t0
+        return out, time.perf_counter() - t0, None
 
     if tier.startswith("sharded"):
         import jax
@@ -123,7 +161,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
                 shape = case.bounds.shape3 if val.ndim == 3 else case.bounds.shape2
                 like = np.zeros(shape, dtype=np.float32)
             out[name] = embed_domain(val, like, case.bounds)
-        return out, dt
+        return out, dt, None
 
     raise SystemExit(f"unknown tier {tier!r}")
 
@@ -135,7 +173,11 @@ def main(argv=None) -> int:
                    help="small steps (default: the fixture's steps.bin)")
     p.add_argument("--tier", default="pallas",
                    choices=["numpy", "native", "xla", "pallas",
-                            "sharded-xla", "sharded-pallas"])
+                            "sharded-xla", "sharded-pallas",
+                            "coupled", "coupled-xla"])
+    p.add_argument("--with-w", action="store_true",
+                   help="coupled tiers: include the vertically-implicit "
+                        "w/pp substep")
     p.add_argument("--mesh", default=None, help="JxI mesh shape for sharded tiers")
     p.add_argument("--dump-intermediates", default=None, metavar="DIR",
                    help="write *_before_theta.bin phase-A captures (xla tier)")
@@ -145,8 +187,9 @@ def main(argv=None) -> int:
     steps = args.steps if args.steps is not None else fx_steps
     mesh_shape = tuple(int(x) for x in args.mesh.split("x")) if args.mesh else None
 
-    out, dt = run_tier(case, steps, args.tier, mesh_shape,
-                       capture=bool(args.dump_intermediates))
+    out, dt, gold_override = run_tier(case, steps, args.tier, mesh_shape,
+                                      capture=bool(args.dump_intermediates),
+                                      with_w=args.with_w)
 
     if args.dump_intermediates:
         from pathlib import Path
@@ -161,13 +204,20 @@ def main(argv=None) -> int:
     print(f"advance_mu_t [{args.tier}]: {steps} step(s) in {dt * 1e3:.3f} ms "
           f"({dt / steps * 1e3:.4f} ms/step, {n_pts / dt:.3e} grid-points/s)")
 
-    golden = fixtures.read_golden(args.fixture_dir, case.bounds)
     failures = 0
-    for name, fname in GOLDEN_FILES.items():
-        r = compare(out[name], golden[name], fname)
-        print(r)
-        if not r.allclose(rtol=1e-4, atol=1e-2):
-            failures += 1
+    if gold_override is not None:
+        for name in sorted(gold_override.keys() & out.keys()):
+            r = compare(out[name], gold_override[name], f"{name} (golden loop)")
+            print(r)
+            if not r.allclose(rtol=1e-4, atol=1e-2):
+                failures += 1
+    else:
+        golden = fixtures.read_golden(args.fixture_dir, case.bounds)
+        for name, fname in GOLDEN_FILES.items():
+            r = compare(out[name], golden[name], fname)
+            print(r)
+            if not r.allclose(rtol=1e-4, atol=1e-2):
+                failures += 1
     if failures:
         print(f"FAILED: {failures} field(s) outside tolerance")
     return 1 if failures else 0

@@ -18,8 +18,9 @@ import numpy as np
 
 from . import codec
 
-#: the carried state of the acoustic loop, in write order
-STATE_FIELDS = ("ww", "mu", "t", "t_ave", "u", "v")
+#: the carried state of the acoustic loop, in write order (w/pp are the
+#: vertical-acoustics extension state, present when the loop runs with_w)
+STATE_FIELDS = ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")
 
 _MANIFEST = "checkpoint.json"
 

@@ -49,11 +49,13 @@ class RK3Integrator:
 
     def __init__(self, mesh, nx, ny, nz, flags: ConfigFlags,
                  acoustic_steps: int = 6, kernel: str = "pallas",
-                 cs2: float = DEFAULT_CS2, interpret: bool | None = None):
+                 cs2: float = DEFAULT_CS2, with_w: bool = False,
+                 interpret: bool | None = None):
         self.stages = rk3_stages(acoustic_steps)
         self.loops = [
             SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
-                          kernel=kernel, cs2=cs2, interpret=interpret)
+                          kernel=kernel, cs2=cs2, with_w=with_w,
+                          interpret=interpret)
             for (_, n_sub) in self.stages
         ]
         self.prepare = self.loops[0].prepare
@@ -80,13 +82,15 @@ class RK3Integrator:
 
 
 def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
-               cs2: float = DEFAULT_CS2):
+               cs2: float = DEFAULT_CS2, with_w: bool = False):
     """Golden-path RK3 step on memory-window arrays (single tile)."""
     import dataclasses
     dt = dt if dt is not None else case.dts * acoustic_steps
-    start = {k: np.asarray(case.fields[n]) for k, n in
-             (("u", "grid_u_2"), ("v", "grid_v_2"), ("t", "grid_t_2"),
-              ("ww", "grid_ww"), ("mu", "grid_mu_2"), ("t_ave", "t_2save"))}
+    snap = (("u", "grid_u_2"), ("v", "grid_v_2"), ("t", "grid_t_2"),
+            ("ww", "grid_ww"), ("mu", "grid_mu_2"), ("t_ave", "t_2save"))
+    if with_w:
+        snap += (("w", "grid_w"), ("pp", "grid_pp"))
+    start = {k: np.asarray(case.fields[n]) for k, n in snap}
     fields = dict(case.fields)
     out = None
     for (frac, n_sub) in rk3_stages(acoustic_steps):
@@ -102,8 +106,11 @@ def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
         stage_fields["grid_v_save"] = start["v"]
         stage_fields["grid_t_save"] = start["t"]
         stage_fields["ww1"] = start["ww"]
+        if with_w:
+            stage_fields["grid_w"] = start["w"]
+            stage_fields["grid_pp"] = start["pp"]
         stage_case = dataclasses.replace(
             case, fields=stage_fields, dts=(frac * dt) / n_sub
         )
-        out = small_step_golden(stage_case, n_sub, cs2=cs2)
+        out = small_step_golden(stage_case, n_sub, cs2=cs2, with_w=with_w)
     return out
