@@ -126,3 +126,50 @@ def test_native_coupled_loop_bitwise(small_case):
         assert (out[name] == gold[name]).all(), f"{name} differs bitwise"
     assert (state["u"] == gold["u"]).all()
     assert (state["v"] == gold["v"]).all()
+
+
+def test_divergence_damping_vs_golden(small_case):
+    """Divergence damping (smdiv): the previous substep's mudf stiffens the
+    wind update's pressure gradient — the consumer of the mudf field the
+    reference computes but never uses (module_small_step_em.f90 'save for
+    the div damping filter')."""
+    case = small_case
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+    for kernel in ("pallas", "xla"):
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=6,
+                             kernel=kernel, smdiv=0.1)
+        arrays = loop.prepare(case_to_domain(case))
+        got_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        gold = small_step_golden(case, 6, smdiv=0.1)
+        kw = case.kernel_kwargs()
+        got = {}
+        for name in ("ww", "mu", "t", "u", "v", "mudf"):
+            like = (np.asarray(kw[name]) if name != "mudf"
+                    else np.zeros_like(gold["mudf"]))
+            got[name] = embed_domain(np.asarray(got_dom[name]), like,
+                                     case.bounds)
+        outputs_allclose(got, {k: gold[k] for k in got},
+                         rtol=5e-5, atol_scale=2e-6)
+    # damping actually does something
+    undamped = small_step_golden(case, 6)
+    assert np.abs(gold["u"] - undamped["u"]).max() > 1e-2
+
+
+def test_native_uv_damping_bitwise(small_case):
+    """Native damped wind substep is bit-identical to the numpy path."""
+    from wrf_tpu.native import advance_uv_native
+    case = small_case
+    kw = case.kernel_kwargs()
+    i0, i1, j0, j1, _, _ = case.bounds.loop_bounds(case.flags)
+    rng = np.random.default_rng(5)
+    mudf = (1e-1 * rng.standard_normal(np.asarray(kw["mu"]).shape)).astype(
+        np.float32)
+    args = dict(u=kw["u"], v=kw["v"], mu=kw["mu"], muu=kw["muu"],
+                muv=kw["muv"], msfuy=kw["msfuy"], msfvx_inv=kw["msfvx_inv"],
+                rdx=kw["rdx"], rdy=kw["rdy"], dts=kw["dts"])
+    ug, vg = advance_uv_numpy(**args, window=(i0, i1, j0, j1),
+                              mudf=mudf, smdiv=0.1)
+    uc, vc = advance_uv_native(**args, cs2=25.0, mudf=mudf, smdiv=0.1,
+                               flags=case.flags, bounds=case.bounds)
+    assert (ug == uc).all() and (vg == vc).all()

@@ -50,12 +50,13 @@ class RK3Integrator:
     def __init__(self, mesh, nx, ny, nz, flags: ConfigFlags,
                  acoustic_steps: int = 6, kernel: str = "pallas",
                  cs2: float = DEFAULT_CS2, with_w: bool = False,
+                 smdiv: float = 0.0,
                  interpret: bool | None = None):
         self.stages = rk3_stages(acoustic_steps)
         self.loops = [
             SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
                           kernel=kernel, cs2=cs2, with_w=with_w,
-                          interpret=interpret)
+                          smdiv=smdiv, interpret=interpret)
             for (_, n_sub) in self.stages
         ]
         self.prepare = self.loops[0].prepare
@@ -82,7 +83,8 @@ class RK3Integrator:
 
 
 def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
-               cs2: float = DEFAULT_CS2, with_w: bool = False):
+               cs2: float = DEFAULT_CS2, with_w: bool = False,
+               smdiv: float = 0.0):
     """Golden-path RK3 step on memory-window arrays (single tile)."""
     import dataclasses
     dt = dt if dt is not None else case.dts * acoustic_steps
@@ -112,5 +114,6 @@ def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
         stage_case = dataclasses.replace(
             case, fields=stage_fields, dts=(frac * dt) / n_sub
         )
-        out = small_step_golden(stage_case, n_sub, cs2=cs2, with_w=with_w)
+        out = small_step_golden(stage_case, n_sub, cs2=cs2, with_w=with_w,
+                                smdiv=smdiv)
     return out

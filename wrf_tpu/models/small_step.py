@@ -55,11 +55,14 @@ STATE_KEYS = ("ww", "mu", "t", "t_ave", "u", "v")
 
 def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2,
                       with_w: bool = False,
-                      cw: float = DEFAULT_CW, gw: float = DEFAULT_GW):
+                      cw: float = DEFAULT_CW, gw: float = DEFAULT_GW,
+                      smdiv: float = 0.0):
     """Golden-path acoustic loop on memory-window arrays (single tile).
 
     With ``with_w`` each substep also runs the vertically-implicit w/pp
     substep (advance_w) on the theta field the mu/t substep just produced.
+    With ``smdiv`` the wind update applies divergence damping from the
+    previous substep's mudf (zero on the first substep).
     """
     kw = case.kernel_kwargs()
     i0, i1, j0, j1, k0, k1 = case.bounds.loop_bounds(case.flags)
@@ -70,13 +73,14 @@ def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2,
         f = case.fields
         wst = {"w": np.asarray(f["grid_w"]), "pp": np.asarray(f["grid_pp"])}
         rdn = np.asarray(f["grid_rdn"])
+    mudf_prev = np.zeros_like(np.asarray(kw["mu"])) if smdiv else None
     for _ in range(steps):
         u, v = advance_uv_numpy(
             u=state["u"], v=state["v"], mu=state["mu"],
             muu=kw["muu"], muv=kw["muv"],
             msfuy=kw["msfuy"], msfvx_inv=kw["msfvx_inv"],
             rdx=kw["rdx"], rdy=kw["rdy"], dts=kw["dts"],
-            window=window, cs2=cs2,
+            window=window, cs2=cs2, mudf=mudf_prev, smdiv=smdiv,
         )
         out = advance_mu_t_numpy(**{**kw, **state, "u": u, "v": v})
         if with_w:
@@ -85,6 +89,8 @@ def small_step_golden(case, steps: int, cs2: float = DEFAULT_CS2,
                 rdnw=kw["rdnw"], dts=kw["dts"], epssm=kw["epssm"],
                 window=window, k0=k0, k1=k1, cw=cw, gw=gw,
             )
+        if smdiv:
+            mudf_prev = out["mudf"]
         state = {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
                  "u": u, "v": v}
     res = {**out, "u": state["u"], "v": state["v"]}
@@ -106,6 +112,7 @@ class SmallStepLoop:
                  kernel: str = "pallas", cs2: float = DEFAULT_CS2,
                  with_w: bool = False,
                  cw: float = DEFAULT_CW, gw: float = DEFAULT_GW,
+                 smdiv: float = 0.0,
                  tj: int | None = None, interpret: bool | None = None):
         self.mesh = mesh
         self.domain = (nx, ny, nz)
@@ -177,7 +184,7 @@ class SmallStepLoop:
                         window=(i0, i1, j0, j1), offsets=offs,
                         k0=k0, k1=k1, kde=nz - 1, tj=tj_loc,
                         fuse_uv=True, cs2=cs2, with_tave=with_tave,
-                        fuse_w=with_w, cw=cw, gw=gw,
+                        fuse_w=with_w, cw=cw, gw=gw, smdiv=smdiv,
                         vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
@@ -211,6 +218,9 @@ class SmallStepLoop:
                           else STATE_KEYS)
             if with_w:
                 carry_keys = carry_keys + ("w", "pp")
+            if smdiv:
+                carry_keys = carry_keys + ("mudf",)
+                padded["mudf"] = jnp.zeros_like(padded["mu"])
             const = {k: v for k, v in padded.items() if k not in carry_keys}
             state0 = {k: padded[k] for k in carry_keys}
 
@@ -225,13 +235,17 @@ class SmallStepLoop:
                     v = state["v"]
                     if j_sh:
                         v = halo.refresh_axis(v, 0, "j", n_interior=nj_loc)
-                    out = fused_step({**const, **state, "mu": mu_p, "v": v},
-                                     with_tave)
+                    ins = {**const, **state, "mu": mu_p, "v": v}
+                    if smdiv:
+                        # mudf is read at the same neighbor points as mu
+                        ins["mudf_in"] = refresh2(ins.pop("mudf"))
+                    out = fused_step(ins, with_tave)
                     return {k: out[k] for k in carry_keys}, out
             else:
                 def substep(state, with_tave=True):
                     del with_tave
                     mu_p = refresh2(state["mu"])
+                    mudf_p = (refresh2(state["mudf"]) if smdiv else None)
                     u, v = advance_uv_jnp(
                         u=state["u"], v=state["v"], mu=mu_p,
                         muu=const["muu"], muv=const["muv"],
@@ -239,11 +253,12 @@ class SmallStepLoop:
                         rdx=scalars["rdx"], rdy=scalars["rdy"],
                         dts=scalars["dts"],
                         window=(i0, i1, j0, j1), offsets=offs, cs2=cs2,
+                        mudf=mudf_p, smdiv=smdiv,
                     )
                     # the winds changed: advance_mu_t reads u(i+1)/v(j+1)
                     u, v = refresh3(u), refresh3(v)
                     ins = {k: v_ for k, v_ in {**const, **state}.items()
-                           if k not in ("w", "pp", "rdn")}
+                           if k not in ("w", "pp", "rdn", "mudf")}
                     out = mu_t_step({**ins, "mu": mu_p, "u": u, "v": v})
                     out = {**out, "u": u, "v": v}
                     if with_w:

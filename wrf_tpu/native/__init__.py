@@ -73,6 +73,7 @@ def _get_lib() -> ctypes.CDLL:
         _lib.wrf_advance_uv.restype = ctypes.c_int32
         _lib.wrf_advance_uv.argtypes = (
             [ctypes.POINTER(_Window)] + [fp] * 7 + [ctypes.c_float] * 4
+            + [fp, ctypes.c_float]
         )
         _lib.wrf_advance_w.restype = ctypes.c_int32
         _lib.wrf_advance_w.argtypes = (
@@ -195,6 +196,8 @@ def advance_uv_native(
     cs2: float,
     flags: ConfigFlags,
     bounds: GridBounds,
+    mudf: np.ndarray | None = None,
+    smdiv: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Native wind substep; same contract as
     :func:`wrf_tpu.ops.advance_uv.advance_uv_numpy` (functional)."""
@@ -209,12 +212,17 @@ def advance_uv_native(
     v_o = _c_contig_f32(v, "v", writable=True)
     ins = {name: _c_contig_f32(arr, name) for name, arr in dict(
         mu=mu, muu=muu, muv=muv, msfuy=msfuy, msfvx_inv=msfvx_inv).items()}
+    mudf_c = None
+    if mudf is not None and smdiv:
+        mudf_c = _c_contig_f32(mudf, "mudf")
     rc = lib.wrf_advance_uv(
         ctypes.byref(w), _fp(u_o), _fp(v_o),
         _fp(ins["mu"]), _fp(ins["muu"]), _fp(ins["muv"]),
         _fp(ins["msfuy"]), _fp(ins["msfvx_inv"]),
         ctypes.c_float(rdx), ctypes.c_float(rdy),
         ctypes.c_float(dts), ctypes.c_float(cs2),
+        _fp(mudf_c) if mudf_c is not None else None,
+        ctypes.c_float(smdiv),
     )
     if rc != 0:
         raise RuntimeError(f"wrf_advance_uv failed with rc={rc}")

@@ -10,7 +10,9 @@ extern "C" int32_t wrf_advance_uv(
     float* u, float* v, const float* mu,
     const float* muu, const float* muv,
     const float* msfuy, const float* msfvx_inv,
-    float rdx, float rdy, float dts, float cs2) {
+    float rdx, float rdy, float dts, float cs2,
+    const float* mudf, float smdiv) {
+  const float dampc = cs2 * smdiv;
   const int64_t idim = w->idim;
   const int64_t kdim = w->kdim;
   // u update window: edge points strictly interior in i to the mass window
@@ -21,8 +23,12 @@ extern "C" int32_t wrf_advance_uv(
   for (int j = uj0; j <= uj1; ++j) {
     for (int i = ui0; i <= ui1; ++i) {
       const int64_t c2 = j * idim + i;
-      const float p = cs2 * mu[c2];
-      const float p_im = cs2 * mu[c2 - 1];
+      float p = cs2 * mu[c2];
+      float p_im = cs2 * mu[c2 - 1];
+      if (mudf) {
+        p = p + dampc * mudf[c2];
+        p_im = p_im + dampc * mudf[c2 - 1];
+      }
       const float coef = dts * (muu[c2] / msfuy[c2]) * (-rdx);
       const float du = coef * (p - p_im);
       float* col = u + (j * kdim) * idim + i;
@@ -32,8 +38,12 @@ extern "C" int32_t wrf_advance_uv(
   for (int j = vj0; j <= vj1; ++j) {
     for (int i = vi0; i <= vi1; ++i) {
       const int64_t c2 = j * idim + i;
-      const float p = cs2 * mu[c2];
-      const float p_jm = cs2 * mu[c2 - idim];
+      float p = cs2 * mu[c2];
+      float p_jm = cs2 * mu[c2 - idim];
+      if (mudf) {
+        p = p + dampc * mudf[c2];
+        p_jm = p_jm + dampc * mudf[c2 - idim];
+      }
       const float coef = dts * (muv[c2] * msfvx_inv[c2]) * (-rdy);
       const float dv = coef * (p - p_jm);
       float* col = v + (j * kdim) * idim + i;

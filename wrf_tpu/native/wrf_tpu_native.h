@@ -50,12 +50,15 @@ int32_t wrf_advance_mu_t(
 // Linearized-acoustic wind substep (advance_uv): u/v updated in place from
 // the horizontal gradient of cs2*mu over the edge-point windows interior to
 // the mass window (see wrf_tpu/ops/advance_uv.py for the scheme).
+// mudf may be null (no damping); smdiv scales the divergence-damping
+// term cs2*smdiv*mudf added to the pressure (see ops/advance_uv.py).
 int32_t wrf_advance_uv(
     const wrf_window* w,
     float* u, float* v, const float* mu,
     const float* muu, const float* muv,
     const float* msfuy, const float* msfvx_inv,
-    float rdx, float rdy, float dts, float cs2);
+    float rdx, float rdy, float dts, float cs2,
+    const float* mudf, float smdiv);
 
 // Vertically-implicit acoustic w/pressure substep (advance_w): per-column
 // tridiagonal Thomas solve of the epssm-off-centered linearized vertical

@@ -84,7 +84,7 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
-            fuse_w: bool, has_wscale: bool):
+            fuse_w: bool, use_damp: bool, has_wscale: bool):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
     scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, wind_scale, cs2
@@ -104,6 +104,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # --- 2-D boundary rows for the fused wind substep ---------------------
     if fuse_uv:
         mu_lo_ref, mu_hi_ref = next(it), next(it)
+    if use_damp:
+        mudf_ref, mudf_lo_ref, mudf_hi_ref = next(it), next(it), next(it)
     # --- 2-D center views (TJ, 1, I) ---------------------------------------
     mu_ref, mut_ref = next(it), next(it)
     muu_ref, muv_ref, mutend_ref = next(it), next(it), next(it)
@@ -187,6 +189,13 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         p = cs2 * mu                      # (TJ, 1, I)
         p_lo = cs2 * mu_lo_ref[:]         # (1, 1, I): row before the slab
         p_hi = cs2 * mu_hi_ref[:]         # (1, 1, I): row after the slab
+        if use_damp:
+            # divergence damping: the previous substep's mass-divergence
+            # tendency (mudf) stiffens the pressure (ops/advance_uv.py)
+            dampc = scal_ref[0, 8]
+            p = p + dampc * mudf_ref[:]
+            p_lo = p_lo + dampc * mudf_lo_ref[:]
+            p_hi = p_hi + dampc * mudf_hi_ref[:]
         u_mask = (i_glob >= i0w + 1) & (i_glob <= i1w) & j_in
         v_mask = i_in & (j_glob >= j0w + 1) & (j_glob <= j1w)
         du = (dts * muu_over_msfuy * (-rdx)) * (p - roll_i(p, 1))
@@ -410,6 +419,7 @@ def advance_mu_t_pallas(
     wind_scale=1.0,               # multiplies u/v on load (see module doc)
     fuse_uv: bool = False,        # run the advance_uv wind substep in-kernel
     cs2: float = 0.0,             # linearized sound speed^2 (fuse_uv only)
+    mudf_in=None, smdiv: float = 0.0,  # divergence damping (fuse_uv only)
     fuse_w: bool = False,         # run the implicit w/pp substep in-kernel
     w=None, pp=None, rdn=None,    # vertical-acoustics state (fuse_w only)
     cw: float = 0.0,              # linearized vertical sound speed (fuse_w)
@@ -489,9 +499,11 @@ def advance_mu_t_pallas(
         erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
     else:
         c_w = g_t = 0.0
+    use_damp = fuse_uv and mudf_in is not None and smdiv != 0.0
+    dampc = jnp.asarray(cs2, F) * jnp.asarray(smdiv, F) if use_damp else 0.0
     scal = jnp.stack([jnp.asarray(s, F)
                       for s in (rdx, rdy, dts, epssm, wind_scale, cs2,
-                                c_w, g_t)])[None, :]
+                                c_w, g_t, dampc)])[None, :]
     i0, i1, j0, j1 = window
     j_off, i_off = offsets
     win = jnp.stack([jnp.asarray(x, jnp.int32)
@@ -502,7 +514,7 @@ def advance_mu_t_pallas(
     r3 = functools.partial(_row_view, tj, K, I)
     r2 = functools.partial(_row_view, tj, 1, I)
     sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    ssc = pl.BlockSpec((1, 8), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    ssc = pl.BlockSpec((1, 9), lambda g: (0, 0), memory_space=pltpu.SMEM)
     swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
     n3 = len(f3)
@@ -527,6 +539,8 @@ def advance_mu_t_pallas(
     in_specs += [v_hi_spec, r3(tj), r3(tj), r3(-1)]   # v_hi, v1_hi, t1_hi, t1_lo
     if fuse_uv:
         in_specs += [r2(-1), r2(tj)]                  # mu_lo, mu_hi
+    if use_damp:
+        in_specs += [c2, r2(-1), r2(tj)]              # mudf center/lo/hi
     in_specs += [c2] * 9                              # 2-D center views
     in_specs += [r2(tj), r2(tj)]                      # muv_hi, msfvxi_hi
     in_specs += [sk, sk, sk, sk]
@@ -539,6 +553,11 @@ def advance_mu_t_pallas(
     operands += [v_hi_arr, d3["v_1"], d3["t_1"], d3["t_1"]]
     if fuse_uv:
         operands += [mu3, mu3]
+    if use_damp:
+        mudf3 = jnp.asarray(mudf_in, F)[:, None, :]
+        if padj:
+            mudf3 = jnp.pad(mudf3, ((0, padj), (0, 0), (0, 0)))
+        operands += [mudf3, mudf3, mudf3]
     operands += [mu3, mut3, muu3, muv3, mutend3,
                  msfuy3, msfvxi3, msftx3, msfty3,
                  muv3, msfvxi3, *kvecs]
@@ -563,7 +582,8 @@ def advance_mu_t_pallas(
     # backward neighbor row.
     idx = {n: 2 + names3.index(n) for n in names3}
     nw = 2 if fuse_w else 0
-    idx_mu = 2 + n3 + nw + 4 + (2 if fuse_uv else 0)
+    idx_mu = 2 + n3 + nw + 4 + (2 if fuse_uv else 0) \
+        + (3 if use_damp else 0)
     out_idx_mu = n_out3
     aliases = {idx["ww"]: 0, idx["t"]: 1}
     if with_tave:
@@ -580,7 +600,8 @@ def advance_mu_t_pallas(
 
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                fuse_uv=fuse_uv, with_tave=with_tave,
-                               fuse_w=fuse_w, has_wscale=has_wscale)
+                               fuse_w=fuse_w, use_damp=use_damp,
+                               has_wscale=has_wscale)
     outs = pl.pallas_call(
         kernel,
         grid=(grid_n,),

@@ -14,8 +14,19 @@ column-mass perturbation through an effective sound-speed-squared constant:
 staggered backward differences onto the u/v edge points, applied over the
 edge windows interior to the mass window.  This closes the mu <-> (u, v)
 acoustic feedback loop so the multi-substep integration has the real data
-flow (winds change every substep; neighbors' mu is read), while the full
-WRF vertically-implicit w/phi substep remains future work.
+flow (winds change every substep; neighbors' mu is read).
+
+Divergence damping: WRF's small step filters the external acoustic mode by
+adding a term proportional to the PREVIOUS substep's mass-divergence
+tendency to the pressure gradient (smdiv, dyn_em namelist) — that tendency
+is exactly the ``mudf`` field advance_mu_t computes ("saved for the
+divergence damping filter", module_small_step_em.f90).  With ``mudf`` and
+``smdiv`` supplied, the effective pressure becomes
+
+    p = cs2 * mu + (cs2 * smdiv) * mudf
+
+so the gradient damps divergence growth; the reference computes mudf but
+ships no consumer — this closes that loop.
 
 Both a numpy golden implementation (FP-order exact) and a masked SPMD jnp
 implementation are provided, verified against each other like every other
@@ -46,13 +57,16 @@ def uv_windows(window):
 
 
 def advance_uv_numpy(*, u, v, mu, muu, muv, msfuy, msfvx_inv,
-                     rdx, rdy, dts, window, cs2=DEFAULT_CS2):
+                     rdx, rdy, dts, window, cs2=DEFAULT_CS2,
+                     mudf=None, smdiv=0.0):
     """Golden-path wind update; returns new (u, v), inputs not mutated."""
     rdx, rdy, dts, cs2 = F32(rdx), F32(rdy), F32(dts), F32(cs2)
     (ui0, ui1, uj0, uj1), (vi0, vi1, vj0, vj1) = uv_windows(window)
     u = np.array(u, dtype=F32, copy=True)
     v = np.array(v, dtype=F32, copy=True)
     p = (cs2 * np.asarray(mu, F32)).astype(F32)
+    if mudf is not None and smdiv:
+        p = p + (cs2 * F32(smdiv)) * np.asarray(mudf, F32)
 
     ujs, uis = slice(uj0, uj1 + 1), slice(ui0, ui1 + 1)
     uim = slice(ui0 - 1, ui1)
@@ -71,7 +85,8 @@ def advance_uv_numpy(*, u, v, mu, muu, muv, msfuy, msfvx_inv,
 
 
 def advance_uv_jnp(*, u, v, mu, muu, muv, msfuy, msfvx_inv,
-                   rdx, rdy, dts, window, offsets=(0, 0), cs2=DEFAULT_CS2):
+                   rdx, rdy, dts, window, offsets=(0, 0), cs2=DEFAULT_CS2,
+                   mudf=None, smdiv=0.0):
     """Masked SPMD wind update on (halo-padded) local blocks.
 
     ``window`` is in the global coordinates defined by ``offsets`` (the
@@ -87,6 +102,8 @@ def advance_uv_jnp(*, u, v, mu, muu, muv, msfuy, msfvx_inv,
     (ui0, ui1, uj0, uj1), (vi0, vi1, vj0, vj1) = uv_windows(window)
 
     p = cs2 * jnp.asarray(mu, F)
+    if mudf is not None and smdiv:
+        p = p + (cs2 * F(smdiv)) * jnp.asarray(mudf, F)
     p_im = jnp.roll(p, 1, axis=1)
     p_jm = jnp.roll(p, 1, axis=0)
 
