@@ -84,7 +84,8 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
-            fuse_w: bool, use_damp: bool, has_wscale: bool):
+            fuse_w: bool, use_damp: bool, has_wscale: bool,
+            ablate: str = ""):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
     scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, wind_scale, cs2
@@ -257,7 +258,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         )
         return 0
 
-    jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+    if "noscan" not in ablate:   # perf-debug ablation (WRF_TPU_ABLATE)
+        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
     kmask_upd = _k_range_mask(K, k0, k1 + 1)
     ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1_ref[:], ww)
     ww_out[:] = ww_new
@@ -283,6 +285,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     fx = roll_i(u, -1) * (roll_i(t1, -1) + t1) - u * (t1 + roll_i(t1, 1))
     horiz = msftx_ref[:] * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
     t_new = t_half - (dts * msfty) * (horiz + vert)
+    if "nophaseb" in ablate:     # perf-debug ablation
+        t_new = t_half
     t_full = jnp.where(kmask_upd & mask, t_new, t)
     t_out[:] = t_full
 
@@ -598,10 +602,12 @@ def advance_mu_t_pallas(
         aliases[2 + n3] = out_idx_w          # w -> w_out
         aliases[2 + n3 + 1] = out_idx_w + 1  # pp -> pp_out
 
+    import os
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                fuse_uv=fuse_uv, with_tave=with_tave,
                                fuse_w=fuse_w, use_damp=use_damp,
-                               has_wscale=has_wscale)
+                               has_wscale=has_wscale,
+                               ablate=os.environ.get("WRF_TPU_ABLATE", ""))
     outs = pl.pallas_call(
         kernel,
         grid=(grid_n,),
