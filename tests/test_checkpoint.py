@@ -41,3 +41,16 @@ def test_resume_is_exact(tmp_path, small_case):
 
     for name in ("ww", "mu", "t", "t_ave", "u", "v"):
         assert (resumed[name] == straight[name]).all(), name
+
+
+def test_roundtrip_with_w(tmp_path, small_case):
+    """Checkpoints carry the vertical-acoustics extension state too."""
+    case = small_case
+    out = small_step_golden(case, 2, with_w=True)
+    state = {k: np.asarray(out[k]) for k in
+             ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")}
+    d = save_checkpoint(tmp_path / "ckw", state, step=2)
+    back, step, _ = load_checkpoint(d)
+    assert step == 2
+    for name, arr in state.items():
+        assert (back[name] == arr).all(), name
