@@ -178,13 +178,14 @@ class SmallStepLoop:
             offs = (j_off, i_off)
 
             if kernel == "pallas":
-                def fused_step(ins, with_tave):
+                def fused_step(ins, with_tave, ww_mode):
                     return advance_mu_t_pallas(
                         **ins, **scalars,
                         window=(i0, i1, j0, j1), offsets=offs,
                         k0=k0, k1=k1, kde=nz - 1, tj=tj_loc,
                         fuse_uv=True, cs2=cs2, with_tave=with_tave,
                         fuse_w=with_w, cw=cw, gw=gw, smdiv=smdiv,
+                        ww_mode=ww_mode,
                         vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
@@ -214,8 +215,13 @@ class SmallStepLoop:
                     x = halo.refresh_axis(x, 1, "i", n_interior=ni_loc)
                 return x
 
-            carry_keys = (("ww", "mu", "t", "u", "v") if kernel == "pallas"
-                          else STATE_KEYS)
+            # the pallas scan carries only the ww scan-seed row (ww_mode
+            # machinery in advance_mu_t_pallas): one full field read+write
+            # per substep less than carrying ww itself
+            carry_keys = (("ww_row", "mu", "t", "u", "v")
+                          if kernel == "pallas" else STATE_KEYS)
+            if kernel == "pallas":
+                padded["ww_row"] = padded["ww"][:, k0, :]
             if with_w:
                 carry_keys = carry_keys + ("w", "pp")
             if smdiv:
@@ -225,7 +231,7 @@ class SmallStepLoop:
             state0 = {k: padded[k] for k in carry_keys}
 
             if kernel == "pallas":
-                def substep(state, with_tave=True):
+                def substep(state, with_tave=True, final=False):
                     # mu changed in the previous substep: refresh before
                     # the in-kernel wind update reads its i-1/j-1/j+1
                     # neighbors; v's halo row feeds the next tile's j+1
@@ -239,11 +245,14 @@ class SmallStepLoop:
                     if smdiv:
                         # mudf is read at the same neighbor points as mu
                         ins["mudf_in"] = refresh2(ins.pop("mudf"))
-                    out = fused_step(ins, with_tave)
+                    out = fused_step(ins, with_tave,
+                                     "final" if final else "lite")
+                    if final:
+                        return state, out
                     return {k: out[k] for k in carry_keys}, out
             else:
-                def substep(state, with_tave=True):
-                    del with_tave
+                def substep(state, with_tave=True, final=False):
+                    del with_tave, final
                     mu_p = refresh2(state["mu"])
                     mudf_p = (refresh2(state["mudf"]) if smdiv else None)
                     u, v = advance_uv_jnp(
@@ -281,7 +290,7 @@ class SmallStepLoop:
                 state, _ = jax.lax.scan(body, state0, length=n_steps - 1)
             else:
                 state = state0
-            state, out = substep(state)
+            state, out = substep(state, final=True)
 
             res = {}
             full = out

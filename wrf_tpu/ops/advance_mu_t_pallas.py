@@ -85,13 +85,21 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             fuse_w: bool, use_damp: bool, has_wscale: bool,
-            ablate: str = ""):
+            ww_mode: str = "full", ablate: str = ""):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
-    scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, wind_scale, cs2
+    scal_ref = next(it)   # (1, 9) f32: rdx..cs2, c_w, g_t, dampc
     win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1 (window), j_off, i_off
     # --- 3-D center views (TJ, K, I), rows [1+g*TJ, 1+(g+1)*TJ) ----------
-    ww_ref, ww1_ref = next(it), next(it)
+    # ww_mode: "full" streams the whole ww field in and out every call;
+    # inside a multi-substep scan nothing reads the carried field except
+    # the scan seed (row k0) and this substep's in-register ww_new, so
+    # "lite" carries only the 2-D seed row R = ww(k0) (saving one full
+    # read AND one full write per substep) and "final" re-materializes the
+    # full ww output once, at the last substep (original ww streamed back
+    # in for the masked pass-through cells).
+    ww_ref = next(it) if ww_mode != "lite" else None
+    ww1_ref = next(it)
     u_ref, u1_ref = next(it), next(it)
     v_ref, v1_ref = next(it), next(it)
     t_ref, t1_ref = next(it), next(it)
@@ -108,6 +116,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if use_damp:
         mudf_ref, mudf_lo_ref, mudf_hi_ref = next(it), next(it), next(it)
     # --- 2-D center views (TJ, 1, I) ---------------------------------------
+    wwrow_ref = next(it) if ww_mode != "full" else None   # scan seed row R
     mu_ref, mut_ref = next(it), next(it)
     muu_ref, muv_ref, mutend_ref = next(it), next(it), next(it)
     msfuy_ref, msfvxi_ref = next(it), next(it)
@@ -122,13 +131,15 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
         crdn_ref, erdn_ref = next(it), next(it)
     # --- outputs (TJ, K, I) / (TJ, 1, I) at the slab rows ------------------
-    ww_out, t_out = next(it), next(it)
+    ww_out = next(it) if ww_mode != "lite" else None
+    t_out = next(it)
     tave_out = next(it) if with_tave else None
     mu_out, muave_out, muts_out, mudf_out = next(it), next(it), next(it), next(it)
     if fuse_uv:
         u_out, v_out = next(it), next(it)
     if fuse_w:
         w_out, pp_out = next(it), next(it)
+    wwrow_out = next(it) if ww_mode == "lite" else None
     # --- scratch -----------------------------------------------------------
     scan_ref = next(it)   # (TJ, K, I) VMEM: in-place ww vertical scan
     if fuse_w:
@@ -136,8 +147,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, epssm = scal_ref[0, 2], scal_ref[0, 3]
-    K = ww_ref.shape[1]
-    I = ww_ref.shape[2]
+    K = ww1_ref.shape[1]
+    I = ww1_ref.shape[2]
 
     # ---- window masks from global coordinates -------------------------
     g = pl.program_id(0)
@@ -176,7 +187,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         v = v * wscale
         v_hi = v_hi * wscale
 
-    muu_over_msfuy = muu_ref[:] / msfuy_ref[:]        # (TJ, 1, I)  BISECT-A
+    muu_over_msfuy = muu_ref[:] / msfuy_ref[:]        # (TJ, 1, I)
     muv_msfvxi = muv_ref[:] * msfvxi_ref[:]           # (TJ, 1, I)
     muv_msfvxi_hi = muv_hi_ref[:] * msfvxi_hi_ref[:]  # (1, 1, I)
 
@@ -217,7 +228,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     vflux = v + muv_msfvxi * v1_ref[:]
     vflux_b = v_hi + muv_msfvxi_hi * v1_hi_ref[:]
     vflux_p = shift_up(vflux, vflux_b)
-    uflux = u + (muu_ref[:] * u1_ref[:]) / msfuy_ref[:]  # BISECT-A
+    uflux = u + muu_over_msfuy * u1_ref[:]
     msft2 = msftx_ref[:] * msfty_ref[:]
     dvdxi = msft2 * (
         rdy * (vflux_p - vflux) + rdx * (roll_i(uflux, -1) - uflux)
@@ -243,14 +254,15 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # ---- ww vertical scan (chip-local, k-ascending like the oracle) ---
     # ww(k) = ww(k-1) - dnw(k-1)*(dmdt + dvdxi(k-1) + mu_tend)/msfty,
     # integrated up from the input surface level, then ww -= ww_1.
-    steps = -dnw * (dmdt + dvdxi + mutend_ref[:]) / msfty_ref[:]  # BISECT-A
-    ww = ww_ref[:]
+    steps = (-dnw * (dmdt + dvdxi + mutend_ref[:])) * (F(1.0) / msfty_ref[:])
+    seed = (ww_ref[:, k0 : k0 + 1, :] if ww_mode == "full"
+            else wwrow_ref[:])
     # Scratch slot k is preloaded with step(k-1) (a k+1 shift); the loop then
     # turns slot k into ww(k) = ww(k-1) + step(k-1) in place, reading the
     # already-final slot k-1.  Mosaic only supports dynamic indexing on refs,
     # hence the scratch rather than a functional scan over values.
     scan_ref[:] = roll_k(steps, 1)
-    scan_ref[:, k0 : k0 + 1, :] = ww[:, k0 : k0 + 1, :]
+    scan_ref[:, k0 : k0 + 1, :] = seed
 
     def scan_body(k, _):
         scan_ref[:, pl.ds(k, 1), :] = (
@@ -261,8 +273,15 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if "noscan" not in ablate:   # perf-debug ablation (WRF_TPU_ABLATE)
         jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
     kmask_upd = _k_range_mask(K, k0, k1 + 1)
-    ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1_ref[:], ww)
-    ww_out[:] = ww_new
+    ww1 = ww1_ref[:]
+    if ww_mode == "lite":
+        # only this substep's theta stencil consumes ww_new (in-window);
+        # the carry is the seed row R = ww_new(k0) = seed - ww_1(k0)
+        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1, F(0.0))
+        wwrow_out[:] = jnp.where(mask, seed - ww1[:, k0 : k0 + 1, :], seed)
+    else:
+        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1, ww_ref[:])
+        ww_out[:] = ww_new
 
     # ---- Phase B: theta ------------------------------------------------
     t = t_ref[:]
@@ -429,6 +448,8 @@ def advance_mu_t_pallas(
     cw: float = 0.0,              # linearized vertical sound speed (fuse_w)
     gw: float = 0.0,              # theta->w coupling (fuse_w)
     with_tave: bool = True,       # stream t_ave in/out (skip inside scans)
+    ww_mode: str = "full",        # "full" | "lite" | "final" (see _kernel)
+    ww_row=None,                  # (J, I) scan-seed row R (lite/final modes)
     tj: int | None = None,
     vmem_limit: int | None = None,  # raised scoped-VMEM limit (shard_map only)
     interpret: bool = False,
@@ -447,15 +468,24 @@ def advance_mu_t_pallas(
     ``with_tave=False`` no ``t_ave`` is read or returned.
     """
     del kde  # the k-range masks encode the domain top; kept for API parity
-    J, K, I = ww.shape
+    J, K, I = jnp.shape(ww_1)
     if tj is None:
         tj = _pick_tj(K, I)
     padj = (-(J - 2)) % tj
 
     if with_tave and t_ave is None:
         raise ValueError("t_ave is required when with_tave=True")
-    names3 = ["ww", "ww_1", "u", "u_1", "v", "v_1", "t", "t_1"]
-    arrs3 = [ww, ww_1, u, u_1, v, v_1, t, t_1]
+    if ww_mode not in ("full", "lite", "final"):
+        raise ValueError(f"bad ww_mode {ww_mode!r}")
+    if ww_mode != "full" and ww_row is None:
+        raise ValueError("ww_row is required in lite/final ww_mode")
+    if ww_mode != "lite" and ww is None:
+        raise ValueError("ww is required in full/final ww_mode")
+    names3 = ["ww_1", "u", "u_1", "v", "v_1", "t", "t_1"]
+    arrs3 = [ww_1, u, u_1, v, v_1, t, t_1]
+    if ww_mode != "lite":
+        names3.insert(0, "ww")
+        arrs3.insert(0, ww)
     if with_tave:
         names3.append("t_ave")
         arrs3.append(t_ave)
@@ -545,6 +575,8 @@ def advance_mu_t_pallas(
         in_specs += [r2(-1), r2(tj)]                  # mu_lo, mu_hi
     if use_damp:
         in_specs += [c2, r2(-1), r2(tj)]              # mudf center/lo/hi
+    if ww_mode != "full":
+        in_specs += [c2]                              # scan-seed row R
     in_specs += [c2] * 9                              # 2-D center views
     in_specs += [r2(tj), r2(tj)]                      # muv_hi, msfvxi_hi
     in_specs += [sk, sk, sk, sk]
@@ -562,6 +594,11 @@ def advance_mu_t_pallas(
         if padj:
             mudf3 = jnp.pad(mudf3, ((0, padj), (0, 0), (0, 0)))
         operands += [mudf3, mudf3, mudf3]
+    if ww_mode != "full":
+        wwrow3 = jnp.asarray(ww_row, F)[:, None, :]
+        if padj:
+            wwrow3 = jnp.pad(wwrow3, ((0, padj), (0, 0), (0, 0)))
+        operands += [wwrow3]
     operands += [mu3, mut3, muu3, muv3, mutend3,
                  msfuy3, msfvxi3, msftx3, msfty3,
                  muv3, msfvxi3, *kvecs]
@@ -569,44 +606,59 @@ def advance_mu_t_pallas(
         operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
                      crdn_vec[None, :], erdn_vec[None, :]]
 
-    n_out3 = 3 if with_tave else 2
-    out_specs = [c3] * n_out3 + [c2] * 4
-    out_shape = [jax.ShapeDtypeStruct((Jp, K, I), F)] * n_out3 + \
-                [jax.ShapeDtypeStruct((Jp, 1, I), F)] * 4
+    big = jax.ShapeDtypeStruct((Jp, K, I), F)
+    thin = jax.ShapeDtypeStruct((Jp, 1, I), F)
+    out_names = []
+    out_specs = []
+    out_shape = []
+    if ww_mode != "lite":
+        out_names += ["ww"]; out_specs += [c3]; out_shape += [big]
+    out_names += ["t"]; out_specs += [c3]; out_shape += [big]
+    if with_tave:
+        out_names += ["t_ave"]; out_specs += [c3]; out_shape += [big]
+    out_names += ["mu", "muave", "muts", "mudf"]
+    out_specs += [c2] * 4; out_shape += [thin] * 4
     if fuse_uv:
-        out_specs += [c3, c3]
-        out_shape += [jax.ShapeDtypeStruct((Jp, K, I), F)] * 2
+        out_names += ["u", "v"]; out_specs += [c3, c3]; out_shape += [big] * 2
     if fuse_w:
-        out_specs += [c3, c3]
-        out_shape += [jax.ShapeDtypeStruct((Jp, K, I), F)] * 2
+        out_names += ["w", "pp"]; out_specs += [c3, c3]; out_shape += [big] * 2
+    if ww_mode == "lite":
+        out_names += ["ww_row"]; out_specs += [c2]; out_shape += [thin]
+    oidx = {n: i for i, n in enumerate(out_names)}
 
-    # input/output aliases: legal only when no view can observe a written
-    # row through the pipeline (see module docstring).  ww/t/t_ave/u/v
-    # qualify; mu only when the fused wind substep does not read its
-    # backward neighbor row.
+    # input operand index by position in the assembled list
     idx = {n: 2 + names3.index(n) for n in names3}
     nw = 2 if fuse_w else 0
     idx_mu = 2 + n3 + nw + 4 + (2 if fuse_uv else 0) \
-        + (3 if use_damp else 0)
-    out_idx_mu = n_out3
-    aliases = {idx["ww"]: 0, idx["t"]: 1}
-    if with_tave:
-        aliases[idx["t_ave"]] = 2
-    if not fuse_uv:
-        aliases[idx_mu] = out_idx_mu
+        + (3 if use_damp else 0) + (1 if ww_mode != "full" else 0)
+    idx_wwrow = idx_mu - 1
+
+    # input/output aliases: legal only when no view can observe a written
+    # row through the pipeline (see module docstring).  ww (pointwise even
+    # in final mode), t, t_ave, u, v, w, pp and the seed row qualify; mu
+    # only when the fused wind substep does not read its backward
+    # neighbor row.
+    aliases = {idx["t"]: oidx["t"]}
+    if ww_mode != "lite":
+        aliases[idx["ww"]] = oidx["ww"]
     else:
-        aliases[idx["u"]] = out_idx_mu + 4   # u_out
-        aliases[idx["v"]] = out_idx_mu + 5   # v_out
+        aliases[idx_wwrow] = oidx["ww_row"]
+    if with_tave:
+        aliases[idx["t_ave"]] = oidx["t_ave"]
+    if not fuse_uv:
+        aliases[idx_mu] = oidx["mu"]
+    else:
+        aliases[idx["u"]] = oidx["u"]
+        aliases[idx["v"]] = oidx["v"]
     if fuse_w:
-        out_idx_w = n_out3 + 4 + (2 if fuse_uv else 0)
-        aliases[2 + n3] = out_idx_w          # w -> w_out
-        aliases[2 + n3 + 1] = out_idx_w + 1  # pp -> pp_out
+        aliases[2 + n3] = oidx["w"]
+        aliases[2 + n3 + 1] = oidx["pp"]
 
     import os
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                fuse_uv=fuse_uv, with_tave=with_tave,
                                fuse_w=fuse_w, use_damp=use_damp,
-                               has_wscale=has_wscale,
+                               has_wscale=has_wscale, ww_mode=ww_mode,
                                ablate=os.environ.get("WRF_TPU_ABLATE", ""))
     outs = pl.pallas_call(
         kernel,
@@ -620,36 +672,34 @@ def advance_mu_t_pallas(
         interpret=interpret,
     )(*operands)
 
-    it = iter(outs)
-    ww_o, t_o = next(it), next(it)
-    tave_o = next(it) if with_tave else None
-    mu_o, muave_o, muts_o, mudf_o = next(it), next(it), next(it), next(it)
+    out = dict(zip(out_names, outs))
 
     # pure 2-D outputs: zero the never-computed edge rows (cheap, 2-D only)
     zero2 = jnp.zeros((1, I), F)
 
-    def edges2z(out):
-        o = out[:, 0, :]
+    def edges2z(o):
+        o = o[:, 0, :]
         return jnp.concatenate([zero2, o[1 : J - 1], zero2], axis=0)
 
     res = {
-        "ww": ww_o[:J],
-        "muave": edges2z(muave_o),
-        "muts": edges2z(muts_o),
-        "mudf": edges2z(mudf_o),
-        "t": t_o[:J],
+        "muave": edges2z(out["muave"]),
+        "muts": edges2z(out["muts"]),
+        "mudf": edges2z(out["mudf"]),
+        "t": out["t"][:J],
     }
-    if with_tave:
-        res["t_ave"] = tave_o[:J]
-    if fuse_uv:
-        u_o, v_o = next(it), next(it)
-        res["mu"] = _patch_edge_rows(mu_o[:, 0, :], mu3[:, 0, :], J)[:J]
-        res["u"] = u_o[:J]   # edge rows pass through via aliasing
-        res["v"] = v_o[:J]
+    if ww_mode != "lite":
+        res["ww"] = out["ww"][:J]
     else:
-        res["mu"] = mu_o[:J, 0, :]
+        res["ww_row"] = out["ww_row"][:J, 0, :]
+    if with_tave:
+        res["t_ave"] = out["t_ave"][:J]
+    if fuse_uv:
+        res["mu"] = _patch_edge_rows(out["mu"][:, 0, :], mu3[:, 0, :], J)[:J]
+        res["u"] = out["u"][:J]   # edge rows pass through via aliasing
+        res["v"] = out["v"][:J]
+    else:
+        res["mu"] = out["mu"][:J, 0, :]
     if fuse_w:
-        w_o, pp_o = next(it), next(it)
-        res["w"] = w_o[:J]
-        res["pp"] = pp_o[:J]
+        res["w"] = out["w"][:J]
+        res["pp"] = out["pp"][:J]
     return res

@@ -170,12 +170,12 @@ class ShardedAdvanceMuT:
             i0, i1, j0, j1 = window[:4]
 
             if kernel == "pallas":
-                def step_fn(ins, wscale, with_tave=True):
+                def step_fn(ins, wscale, with_tave=True, ww_mode="full"):
                     return advance_mu_t_pallas(
                         **ins, **scalars,
                         window=(i0, i1, j0, j1), offsets=(j_off, i_off),
                         wind_scale=wscale, k0=k0, k1=k1, kde=nz - 1,
-                        with_tave=with_tave,
+                        with_tave=with_tave, ww_mode=ww_mode,
                         tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
@@ -185,19 +185,23 @@ class ShardedAdvanceMuT:
                 i_mask = (i_idx >= i0) & (i_idx <= i1)
                 j_mask = (j_idx >= j0) & (j_idx <= j1)
 
-                def step_fn(ins, wscale, with_tave=True):
-                    del with_tave  # XLA path always streams t_ave (cheap there)
+                def step_fn(ins, wscale, with_tave=True, ww_mode="full"):
+                    del with_tave, ww_mode  # XLA path always streams everything
                     ins = {**ins, "u": ins["u"] * wscale, "v": ins["v"] * wscale}
                     return advance_mu_t_impl(
                         **ins, **scalars, i_mask=i_mask, j_mask=j_mask,
                         k0=k0, k1=k1, kde=nz - 1,
                     )
 
-            # t_ave is pointwise t_old and never read back: the pallas path
-            # drops its two HBM streams on every scan substep and produces it
-            # only on the final call (masked-out cells keep the original).
-            carry_keys = (("ww", "mu", "t") if kernel == "pallas"
+            # t_ave is pointwise t_old and never read back, and the carried
+            # ww field is consumed only through its k0 seed row: the pallas
+            # scan drops t_ave's two streams AND ww's read+write per substep
+            # (ww_mode="lite" carries the 2-D seed row; the final call
+            # re-materializes both).
+            carry_keys = (("ww_row", "mu", "t") if kernel == "pallas"
                           else STATE_KEYS)
+            if kernel == "pallas":
+                padded["ww_row"] = padded["ww"][:, k0, :]
             const = {k: v for k, v in padded.items() if k not in carry_keys}
             state0 = {k: padded[k] for k in carry_keys}
 
@@ -209,14 +213,17 @@ class ShardedAdvanceMuT:
             if n_steps > 1:
                 def body(state, n):
                     out = step_fn({**const, **state}, wscale_at(n),
-                                  with_tave=False)
+                                  with_tave=False,
+                                  ww_mode="lite" if kernel == "pallas"
+                                  else "full")
                     return {k: out[k] for k in carry_keys}, None
 
                 state, _ = jax.lax.scan(body, state0, jnp.arange(n_steps - 1))
             else:
                 state = state0
             out = step_fn({**const, **state},
-                          wscale_at(jnp.asarray(n_steps - 1)))
+                          wscale_at(jnp.asarray(n_steps - 1)),
+                          ww_mode="final" if kernel == "pallas" else "full")
 
             # drop halo rows/cols and pallas padding -> owned interior
             res = {}
