@@ -37,6 +37,7 @@ from ..grid import ConfigFlags
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
 from ..ops.advance_mu_t_pallas import (
     SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
+    lean_constants,
 )
 from ..ops.advance_uv import DEFAULT_CS2, advance_uv_jnp, advance_uv_numpy
 from ..ops.advance_w import DEFAULT_CW, DEFAULT_GW, advance_w_jnp, advance_w_numpy
@@ -178,14 +179,30 @@ class SmallStepLoop:
             offs = (j_off, i_off)
 
             if kernel == "pallas":
+                lean_kw = dict(zip(
+                    ("tconst", "dvdxi_const", "ww1_k0"),
+                    lean_constants(
+                        ww_1=padded["ww_1"], u_1=padded["u_1"],
+                        v_1=padded["v_1"], ft=padded["ft"],
+                        t_1=padded["t_1"], fnm=padded["fnm"],
+                        fnp=padded["fnp"], rdnw=padded["rdnw"],
+                        muu=padded["muu"], muv=padded["muv"],
+                        msfuy=padded["msfuy"],
+                        msfvx_inv=padded["msfvx_inv"],
+                        msftx=padded["msftx"], msfty=padded["msfty"],
+                        rdx=scalars["rdx"], rdy=scalars["rdy"],
+                        dts=scalars["dts"], k0=k0, k1=k1,
+                    )))
+
                 def fused_step(ins, with_tave, ww_mode):
+                    lean = ww_mode == "lite"
                     return advance_mu_t_pallas(
-                        **ins, **scalars,
+                        **ins, **(lean_kw if lean else {}), **scalars,
                         window=(i0, i1, j0, j1), offsets=offs,
                         k0=k0, k1=k1, kde=nz - 1, tj=tj_loc,
                         fuse_uv=True, cs2=cs2, with_tave=with_tave,
                         fuse_w=with_w, cw=cw, gw=gw, smdiv=smdiv,
-                        ww_mode=ww_mode,
+                        ww_mode=ww_mode, lean=lean,
                         vmem_limit=vmem_limit,
                         interpret=interpret,
                     )

@@ -85,7 +85,7 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             fuse_w: bool, use_damp: bool, has_wscale: bool,
-            ww_mode: str = "full", ablate: str = ""):
+            ww_mode: str = "full", lean: bool = False, ablate: str = ""):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
     scal_ref = next(it)   # (1, 9) f32: rdx..cs2, c_w, g_t, dampc
@@ -98,17 +98,28 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # read AND one full write per substep) and "final" re-materializes the
     # full ww output once, at the last substep (original ww streamed back
     # in for the masked pass-through cells).
+    # ``lean`` (scan substeps only): every field the substep reads but
+    # never changes and only combines LINEARLY with the dynamic state is
+    # folded into two precomputed constants — dvdxi_const (the u_1/v_1
+    # static mass-flux divergence) and tconst (the ft tendency plus the
+    # ww_1 part of the vertical theta flux) — dropping the ww_1, u_1, v_1
+    # and ft streams (4 field-passes) for 2.
     ww_ref = next(it) if ww_mode != "lite" else None
-    ww1_ref = next(it)
-    u_ref, u1_ref = next(it), next(it)
-    v_ref, v1_ref = next(it), next(it)
+    ww1_ref = next(it) if not lean else None
+    u_ref = next(it)
+    u1_ref = next(it) if not lean else None
+    v_ref = next(it)
+    v1_ref = next(it) if not lean else None
     t_ref, t1_ref = next(it), next(it)
     tave_ref = next(it) if with_tave else None
-    ft_ref = next(it)
+    ft_ref = next(it) if not lean else None
+    if lean:
+        tconst_ref, dvdxic_ref = next(it), next(it)
     if fuse_w:
         w_ref, pp_ref = next(it), next(it)   # vertical-acoustics state
     # --- 3-D boundary rows (1, K, I) --------------------------------------
-    v_hi_ref, v1_hi_ref = next(it), next(it)   # row after the slab
+    v_hi_ref = next(it)                        # row after the slab
+    v1_hi_ref = next(it) if not lean else None
     t1_hi_ref, t1_lo_ref = next(it), next(it)  # rows after/before the slab
     # --- 2-D boundary rows for the fused wind substep ---------------------
     if fuse_uv:
@@ -117,6 +128,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         mudf_ref, mudf_lo_ref, mudf_hi_ref = next(it), next(it), next(it)
     # --- 2-D center views (TJ, 1, I) ---------------------------------------
     wwrow_ref = next(it) if ww_mode != "full" else None   # scan seed row R
+    ww1k0_ref = next(it) if lean else None    # ww_1(k0) row (R recurrence)
     mu_ref, mut_ref = next(it), next(it)
     muu_ref, muv_ref, mutend_ref = next(it), next(it), next(it)
     msfuy_ref, msfvxi_ref = next(it), next(it)
@@ -147,8 +159,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, epssm = scal_ref[0, 2], scal_ref[0, 3]
-    K = ww1_ref.shape[1]
-    I = ww1_ref.shape[2]
+    K = t1_ref.shape[1]
+    I = t1_ref.shape[2]
 
     # ---- window masks from global coordinates -------------------------
     g = pl.program_id(0)
@@ -178,18 +190,17 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
 
     u = u_ref[:]
     v = v_ref[:]
-    v_hi = v_hi_ref[:]
     t1 = t1_ref[:]
     mu = mu_ref[:]
     if has_wscale:
         wscale = scal_ref[0, 4]
         u = u * wscale
         v = v * wscale
-        v_hi = v_hi * wscale
 
     muu_over_msfuy = muu_ref[:] / msfuy_ref[:]        # (TJ, 1, I)
     muv_msfvxi = muv_ref[:] * msfvxi_ref[:]           # (TJ, 1, I)
     muv_msfvxi_hi = muv_hi_ref[:] * msfvxi_hi_ref[:]  # (1, 1, I)
+    v_hi = v_hi_ref[:] if not has_wscale else v_hi_ref[:] * scal_ref[0, 4]
 
     # ---- fused wind substep (advance_uv, ops/advance_uv.py) -----------
     # p = cs2*mu'; u += dts*(muu/msfuy)*(-rdx)*(p - p(i-1));
@@ -224,15 +235,23 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # ---- Phase A: mass-flux divergence and column reduction -----------
     # association matches the golden path: v + (muv*v_1)*msfvx_inv
     # (module_small_step_em.f90:142-146); the u flux divides by the 2-D
-    # map factor up front (see module docstring).
-    vflux = v + muv_msfvxi * v1_ref[:]
-    vflux_b = v_hi + muv_msfvxi_hi * v1_hi_ref[:]
-    vflux_p = shift_up(vflux, vflux_b)
-    uflux = u + muu_over_msfuy * u1_ref[:]
+    # map factor up front (see module docstring).  In lean mode the u_1/
+    # v_1 static flux part rides in dvdxi_const and only the dynamic
+    # winds are differenced here.
     msft2 = msftx_ref[:] * msfty_ref[:]
-    dvdxi = msft2 * (
-        rdy * (vflux_p - vflux) + rdx * (roll_i(uflux, -1) - uflux)
-    )  # (TJ, K, I)
+    if lean:
+        v_p = shift_up(v, v_hi)
+        dvdxi = dvdxic_ref[:] + msft2 * (
+            rdy * (v_p - v) + rdx * (roll_i(u, -1) - u)
+        )
+    else:
+        vflux = v + muv_msfvxi * v1_ref[:]
+        vflux_b = v_hi + muv_msfvxi_hi * v1_hi_ref[:]
+        vflux_p = shift_up(vflux, vflux_b)
+        uflux = u + muu_over_msfuy * u1_ref[:]
+        dvdxi = msft2 * (
+            rdy * (vflux_p - vflux) + rdx * (roll_i(uflux, -1) - uflux)
+        )  # (TJ, K, I)
 
     dnw = dnw_ref[:].reshape(1, K, 1)
     dmdt = jnp.sum(
@@ -273,20 +292,24 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if "noscan" not in ablate:   # perf-debug ablation (WRF_TPU_ABLATE)
         jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
     kmask_upd = _k_range_mask(K, k0, k1 + 1)
-    ww1 = ww1_ref[:]
     if ww_mode == "lite":
         # only this substep's theta stencil consumes ww_new (in-window);
-        # the carry is the seed row R = ww_new(k0) = seed - ww_1(k0)
-        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1, F(0.0))
-        wwrow_out[:] = jnp.where(mask, seed - ww1[:, k0 : k0 + 1, :], seed)
+        # the carry is the seed row R = ww_new(k0) = seed - ww_1(k0).
+        # In lean mode the -ww_1 part of the theta flux lives in tconst,
+        # so ww_new here is the RAW scan value S.
+        ww1k0 = (ww1k0_ref[:] if lean else ww1_ref[:, k0 : k0 + 1, :])
+        sub = F(0.0) if lean else ww1_ref[:]
+        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - sub, F(0.0))
+        wwrow_out[:] = jnp.where(mask, seed - ww1k0, seed)
     else:
-        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1, ww_ref[:])
+        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1_ref[:],
+                           ww_ref[:])
         ww_out[:] = ww_new
 
     # ---- Phase B: theta ------------------------------------------------
     t = t_ref[:]
     msfty = msfty_ref[:]
-    t_half = t + (msfty * dts) * ft_ref[:]
+    t_half = (t + tconst_ref[:]) if lean else (t + (msfty * dts) * ft_ref[:])
     if with_tave:
         tave_out[:] = jnp.where(kmask_upd & mask, t, tave_ref[:])
 
@@ -419,6 +442,45 @@ def _compiler_params(vmem_limit: int | None):
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
+def lean_constants(*, ww_1, u_1, v_1, ft, t_1, fnm, fnp, rdnw,
+                   muu, muv, msfuy, msfvx_inv, msftx, msfty,
+                   rdx, rdy, dts, k0: int, k1: int):
+    """Precompute the lean-mode constants on (halo-padded) local blocks.
+
+    ``dvdxi_const`` is the u_1/v_1 static part of the mass-flux divergence;
+    ``tconst`` folds the slow theta tendency (ft) together with the ww_1
+    part of the vertical theta flux; ``ww1_k0`` is the seed-row recurrence
+    term.  All combine LINEARLY with the dynamic state inside the kernel,
+    so folding them is exact up to one fp32 re-association per term (the
+    same order as the tolerances every device tier is held to)."""
+    t1 = jnp.asarray(t_1, F)
+    K = t1.shape[1]
+    kv = jnp.arange(K)
+    kint = ((kv > k0) & (kv <= k1))[None, :, None]
+    fnm3 = jnp.asarray(fnm, F)[None, :, None]
+    fnp3 = jnp.asarray(fnp, F)[None, :, None]
+    rdnw3 = jnp.asarray(rdnw, F)[None, :, None]
+    dts = jnp.asarray(dts, F)
+    rdx = jnp.asarray(rdx, F)
+    rdy = jnp.asarray(rdy, F)
+
+    interp = fnm3 * t1 + fnp3 * jnp.roll(t1, 1, 1)
+    wdtn1 = jnp.where(kint, jnp.asarray(ww_1, F) * interp, jnp.float32(0.0))
+    vert1 = rdnw3 * (jnp.roll(wdtn1, -1, 1) - wdtn1)
+    msfty3 = jnp.asarray(msfty, F)[:, None, :]
+    tconst = (msfty3 * dts) * jnp.asarray(ft, F) + (dts * msfty3) * vert1
+
+    c_u = (jnp.asarray(muu, F) / jnp.asarray(msfuy, F))[:, None, :] \
+        * jnp.asarray(u_1, F)
+    c_v = (jnp.asarray(muv, F) * jnp.asarray(msfvx_inv, F))[:, None, :] \
+        * jnp.asarray(v_1, F)
+    msft2 = (jnp.asarray(msftx, F) * jnp.asarray(msfty, F))[:, None, :]
+    dvdxi_const = msft2 * (rdy * (jnp.roll(c_v, -1, 0) - c_v)
+                           + rdx * (jnp.roll(c_u, -1, 2) - c_u))
+    ww1_k0 = jnp.asarray(ww_1, F)[:, k0, :]
+    return tconst, dvdxi_const, ww1_k0
+
+
 def _patch_edge_rows(out: jax.Array, inp: jax.Array, J: int) -> jax.Array:
     """Copy the two never-computed edge rows (0 and J-1) from the input —
     the unaliased-output analog of the pass-through the aliased outputs
@@ -450,6 +512,8 @@ def advance_mu_t_pallas(
     with_tave: bool = True,       # stream t_ave in/out (skip inside scans)
     ww_mode: str = "full",        # "full" | "lite" | "final" (see _kernel)
     ww_row=None,                  # (J, I) scan-seed row R (lite/final modes)
+    lean: bool = False,           # scan substeps: static-flux/tendency folding
+    tconst=None, dvdxi_const=None, ww1_k0=None,  # lean-mode precomputed consts
     tj: int | None = None,
     vmem_limit: int | None = None,  # raised scoped-VMEM limit (shard_map only)
     interpret: bool = False,
@@ -468,7 +532,7 @@ def advance_mu_t_pallas(
     ``with_tave=False`` no ``t_ave`` is read or returned.
     """
     del kde  # the k-range masks encode the domain top; kept for API parity
-    J, K, I = jnp.shape(ww_1)
+    J, K, I = jnp.shape(t)
     if tj is None:
         tj = _pick_tj(K, I)
     padj = (-(J - 2)) % tj
@@ -481,16 +545,25 @@ def advance_mu_t_pallas(
         raise ValueError("ww_row is required in lite/final ww_mode")
     if ww_mode != "lite" and ww is None:
         raise ValueError("ww is required in full/final ww_mode")
-    names3 = ["ww_1", "u", "u_1", "v", "v_1", "t", "t_1"]
-    arrs3 = [ww_1, u, u_1, v, v_1, t, t_1]
-    if ww_mode != "lite":
-        names3.insert(0, "ww")
-        arrs3.insert(0, ww)
-    if with_tave:
-        names3.append("t_ave")
-        arrs3.append(t_ave)
-    names3.append("ft")
-    arrs3.append(ft)
+    if lean:
+        if ww_mode != "lite" or with_tave:
+            raise ValueError("lean mode requires ww_mode='lite' and "
+                             "with_tave=False")
+        if tconst is None or dvdxi_const is None or ww1_k0 is None:
+            raise ValueError("lean mode requires tconst, dvdxi_const, ww1_k0")
+        names3 = ["u", "v", "t", "t_1", "tconst", "dvdxi_const"]
+        arrs3 = [u, v, t, t_1, tconst, dvdxi_const]
+    else:
+        names3 = ["ww_1", "u", "u_1", "v", "v_1", "t", "t_1"]
+        arrs3 = [ww_1, u, u_1, v, v_1, t, t_1]
+        if ww_mode != "lite":
+            names3.insert(0, "ww")
+            arrs3.insert(0, ww)
+        if with_tave:
+            names3.append("t_ave")
+            arrs3.append(t_ave)
+        names3.append("ft")
+        arrs3.append(ft)
 
     f3 = [jnp.asarray(a, F) for a in arrs3]
     f2 = [jnp.asarray(a, F)[:, None, :]
@@ -570,13 +643,18 @@ def advance_mu_t_pallas(
     in_specs += [c3] * n3                             # 3-D center views
     if fuse_w:
         in_specs += [c3, c3]                          # w, pp
-    in_specs += [v_hi_spec, r3(tj), r3(tj), r3(-1)]   # v_hi, v1_hi, t1_hi, t1_lo
+    if lean:
+        in_specs += [v_hi_spec, r3(tj), r3(-1)]       # v_hi, t1_hi, t1_lo
+    else:
+        in_specs += [v_hi_spec, r3(tj), r3(tj), r3(-1)]  # + v1_hi
     if fuse_uv:
         in_specs += [r2(-1), r2(tj)]                  # mu_lo, mu_hi
     if use_damp:
         in_specs += [c2, r2(-1), r2(tj)]              # mudf center/lo/hi
     if ww_mode != "full":
         in_specs += [c2]                              # scan-seed row R
+    if lean:
+        in_specs += [c2]                              # ww_1(k0) row
     in_specs += [c2] * 9                              # 2-D center views
     in_specs += [r2(tj), r2(tj)]                      # muv_hi, msfvxi_hi
     in_specs += [sk, sk, sk, sk]
@@ -586,7 +664,10 @@ def advance_mu_t_pallas(
     operands = [scal, win, *f3]
     if fuse_w:
         operands += [w3a, pp3a]
-    operands += [v_hi_arr, d3["v_1"], d3["t_1"], d3["t_1"]]
+    if lean:
+        operands += [v_hi_arr, d3["t_1"], d3["t_1"]]
+    else:
+        operands += [v_hi_arr, d3["v_1"], d3["t_1"], d3["t_1"]]
     if fuse_uv:
         operands += [mu3, mu3]
     if use_damp:
@@ -599,6 +680,11 @@ def advance_mu_t_pallas(
         if padj:
             wwrow3 = jnp.pad(wwrow3, ((0, padj), (0, 0), (0, 0)))
         operands += [wwrow3]
+    if lean:
+        ww1k03 = jnp.asarray(ww1_k0, F)[:, None, :]
+        if padj:
+            ww1k03 = jnp.pad(ww1k03, ((0, padj), (0, 0), (0, 0)))
+        operands += [ww1k03]
     operands += [mu3, mut3, muu3, muv3, mutend3,
                  msfuy3, msfvxi3, msftx3, msfty3,
                  muv3, msfvxi3, *kvecs]
@@ -629,9 +715,12 @@ def advance_mu_t_pallas(
     # input operand index by position in the assembled list
     idx = {n: 2 + names3.index(n) for n in names3}
     nw = 2 if fuse_w else 0
-    idx_mu = 2 + n3 + nw + 4 + (2 if fuse_uv else 0) \
-        + (3 if use_damp else 0) + (1 if ww_mode != "full" else 0)
-    idx_wwrow = idx_mu - 1
+    idx_mu = (2 + n3 + nw + (3 if lean else 4)
+              + (2 if fuse_uv else 0)
+              + (3 if use_damp else 0)
+              + (1 if ww_mode != "full" else 0)
+              + (1 if lean else 0))
+    idx_wwrow = idx_mu - 1 - (1 if lean else 0)
 
     # input/output aliases: legal only when no view can observe a written
     # row through the pipeline (see module docstring).  ww (pointwise even
@@ -659,6 +748,7 @@ def advance_mu_t_pallas(
                                fuse_uv=fuse_uv, with_tave=with_tave,
                                fuse_w=fuse_w, use_damp=use_damp,
                                has_wscale=has_wscale, ww_mode=ww_mode,
+                               lean=lean,
                                ablate=os.environ.get("WRF_TPU_ABLATE", ""))
     outs = pl.pallas_call(
         kernel,

@@ -49,6 +49,7 @@ from ..grid import ConfigFlags, GridBounds
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
 from ..ops.advance_mu_t_pallas import (
     SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
+    lean_constants,
 )
 from . import halo
 from .mesh import replicated, sharding2, sharding3
@@ -170,12 +171,28 @@ class ShardedAdvanceMuT:
             i0, i1, j0, j1 = window[:4]
 
             if kernel == "pallas":
+                lean_kw = dict(zip(
+                    ("tconst", "dvdxi_const", "ww1_k0"),
+                    lean_constants(
+                        ww_1=padded["ww_1"], u_1=padded["u_1"],
+                        v_1=padded["v_1"], ft=padded["ft"],
+                        t_1=padded["t_1"], fnm=padded["fnm"],
+                        fnp=padded["fnp"], rdnw=padded["rdnw"],
+                        muu=padded["muu"], muv=padded["muv"],
+                        msfuy=padded["msfuy"],
+                        msfvx_inv=padded["msfvx_inv"],
+                        msftx=padded["msftx"], msfty=padded["msfty"],
+                        rdx=scalars["rdx"], rdy=scalars["rdy"],
+                        dts=scalars["dts"], k0=k0, k1=k1,
+                    )))
+
                 def step_fn(ins, wscale, with_tave=True, ww_mode="full"):
+                    lean = ww_mode == "lite"
                     return advance_mu_t_pallas(
-                        **ins, **scalars,
+                        **ins, **(lean_kw if lean else {}), **scalars,
                         window=(i0, i1, j0, j1), offsets=(j_off, i_off),
                         wind_scale=wscale, k0=k0, k1=k1, kde=nz - 1,
-                        with_tave=with_tave, ww_mode=ww_mode,
+                        with_tave=with_tave, ww_mode=ww_mode, lean=lean,
                         tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
