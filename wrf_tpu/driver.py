@@ -124,6 +124,9 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
                     capture_intermediates=capture,
                 )
 
+        import jax
+        step = jax.jit(step)  # one compile; eager dispatch through the
+        #                       relay would round-trip per primitive
         state = {k: arr[k] for k in ("ww", "mu", "t", "t_ave")}
         out = step({**arr, **state})  # compile
         t0 = time.perf_counter()
