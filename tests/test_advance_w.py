@@ -12,7 +12,7 @@ from wrf_tpu.ops.advance_w import (
     DEFAULT_CW, DEFAULT_GW, advance_w_jnp, advance_w_numpy, rdn_from_dnw,
 )
 from wrf_tpu.parallel.mesh import make_mesh
-from wrf_tpu.parallel.sharded import case_to_domain, embed_domain
+from wrf_tpu.parallel.sharded import case_to_domain, embed_outputs
 
 
 def _w_args(case):
@@ -126,17 +126,7 @@ def loop_with_w_vs_golden(case, mesh_shape, steps, kernel, **tol):
     got_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
 
     gold = small_step_golden(case, steps, with_w=True)
-    kw = case.kernel_kwargs()
-    like_of = {"w": case.fields["grid_w"], "pp": case.fields["grid_pp"]}
-    got = {}
-    for name, val in got_dom.items():
-        if name in ("ww", "mu", "t", "t_ave", "u", "v"):
-            like = np.asarray(kw[name])
-        elif name in like_of:
-            like = np.asarray(like_of[name])
-        else:
-            like = np.zeros_like(gold[name])
-        got[name] = embed_domain(np.asarray(val), like, case.bounds)
+    got = embed_outputs(case, got_dom)
     outputs_allclose(got, gold, **tol)
 
 

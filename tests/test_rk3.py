@@ -6,7 +6,7 @@ import numpy as np
 from tests.conftest import outputs_allclose
 from wrf_tpu.models.rk3 import RK3Integrator, rk3_golden, rk3_stages
 from wrf_tpu.parallel.mesh import make_mesh
-from wrf_tpu.parallel.sharded import case_to_domain, embed_domain
+from wrf_tpu.parallel.sharded import case_to_domain, embed_domain, embed_outputs
 
 
 def test_stage_schedule():
@@ -46,12 +46,8 @@ def test_rk3_with_w_matches_golden(small_case):
     out = rk3.step(arrays, case.rdx, case.rdy, dt, case.epssm)
 
     gold = rk3_golden(case, acoustic_steps=4, dt=dt, with_w=True)
-    kw = case.kernel_kwargs()
-    like_of = {"w": case.fields["grid_w"], "pp": case.fields["grid_pp"]}
-    got = {}
-    for name in ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp"):
-        like = np.asarray(like_of.get(name, kw.get(name, 0)))
-        got[name] = embed_domain(np.asarray(out[name]), like, case.bounds)
+    names = ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")
+    got = embed_outputs(case, {n: out[n] for n in names})
     outputs_allclose(got, {k: gold[k] for k in got},
                      rtol=5e-5, atol_scale=2e-6)
 

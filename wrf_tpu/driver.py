@@ -63,27 +63,18 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
             mesh_shape,
         )
         nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+        from .parallel.sharded import embed_outputs
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              kernel=kernel, with_w=with_w)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
-        out_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        warm = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        np.asarray(warm["t"])  # sync: the warmup run must finish before t0
         t0 = time.perf_counter()
         out_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         out_dom = {k: np.asarray(v) for k, v in out_dom.items()}
         dt = time.perf_counter() - t0
         gold = small_step_golden(case, steps, with_w=with_w)
-        like_of = {"w": "grid_w", "pp": "grid_pp"}
-        out = {}
-        for name, val in out_dom.items():
-            if name in ("ww", "mu", "t", "t_ave", "u", "v"):
-                like = np.asarray(kw[name])
-            elif name in like_of:
-                like = np.asarray(case.fields[like_of[name]])
-            else:
-                shape = case.bounds.shape3 if val.ndim == 3 else case.bounds.shape2
-                like = np.zeros(shape, dtype=np.float32)
-            out[name] = embed_domain(val, like, case.bounds)
-        return out, dt, gold
+        return embed_outputs(case, out_dom), dt, gold
 
     if tier in ("numpy", "native"):
         if tier == "numpy":
@@ -150,21 +141,15 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
         step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                  n_steps=steps, kernel=kernel)
+        from .parallel.sharded import embed_outputs
         arrays = step.prepare(case_to_domain(case))
-        out_dom = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)  # compile
+        warm = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)  # compile
+        np.asarray(warm["t"])  # sync: the warmup run must finish before t0
         t0 = time.perf_counter()
         out_dom = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         out_dom = {k: np.asarray(v) for k, v in out_dom.items()}
         dt = time.perf_counter() - t0
-        out = {}
-        for name, val in out_dom.items():
-            if name in ("ww", "mu", "t", "t_ave"):
-                like = np.asarray(kw[name])
-            else:
-                shape = case.bounds.shape3 if val.ndim == 3 else case.bounds.shape2
-                like = np.zeros(shape, dtype=np.float32)
-            out[name] = embed_domain(val, like, case.bounds)
-        return out, dt, None
+        return embed_outputs(case, out_dom), dt, None
 
     raise SystemExit(f"unknown tier {tier!r}")
 

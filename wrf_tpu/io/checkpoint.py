@@ -3,7 +3,8 @@
 The reference has no checkpointing; its field serializers are the de-facto
 snapshot format (SURVEY.md §5).  This module makes that explicit: a
 checkpoint is a directory of big-endian field-per-file dumps of the carried
-state (ww, mu, t, t_ave, u, v) plus a small manifest (step counter, array
+state (ww, mu, t, t_ave, u, v, and w/pp when the loop runs the vertical
+substep) plus a small manifest (step counter, array
 shapes), so a multi-substep integration can stop and resume exactly, and so
 snapshots are directly diffable with the comparator suite and readable by
 the native driver's codec.

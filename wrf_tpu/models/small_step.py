@@ -36,8 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..grid import ConfigFlags
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
 from ..ops.advance_mu_t_pallas import (
-    SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
-    lean_constants,
+    advance_mu_t_pallas, lean_kwargs, sharded_tile_params,
 )
 from ..ops.advance_uv import DEFAULT_CS2, advance_uv_jnp, advance_uv_numpy
 from ..ops.advance_w import DEFAULT_CW, DEFAULT_GW, advance_w_jnp, advance_w_numpy
@@ -155,16 +154,7 @@ class SmallStepLoop:
             for name in F1:
                 padded[name] = arrs[name]
 
-            # the raised scoped-VMEM limit is validated only at wide-I
-            # shapes (>= 384 lanes, where it buys tj >= 4); at narrow
-            # shapes an explicit limit can fault the worker (see
-            # _compiler_params), and the default budget already gives
-            # a large tj there.
-            use_limit = ni_loc + 2 >= 384
-            vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
-            tj_loc = tj or _pick_tj(
-                K, ni_loc + 2,
-                **({'budget': SHARDED_VMEM_BUDGET} if use_limit else {}))
+            tj_loc, vmem_limit = sharded_tile_params(K, ni_loc, tj)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in F3:
@@ -179,20 +169,8 @@ class SmallStepLoop:
             offs = (j_off, i_off)
 
             if kernel == "pallas":
-                lean_kw = dict(zip(
-                    ("tconst", "dvdxi_const", "ww1_k0"),
-                    lean_constants(
-                        ww_1=padded["ww_1"], u_1=padded["u_1"],
-                        v_1=padded["v_1"], ft=padded["ft"],
-                        t_1=padded["t_1"], fnm=padded["fnm"],
-                        fnp=padded["fnp"], rdnw=padded["rdnw"],
-                        muu=padded["muu"], muv=padded["muv"],
-                        msfuy=padded["msfuy"],
-                        msfvx_inv=padded["msfvx_inv"],
-                        msftx=padded["msftx"], msfty=padded["msfty"],
-                        rdx=scalars["rdx"], rdy=scalars["rdy"],
-                        dts=scalars["dts"], k0=k0, k1=k1,
-                    )))
+                lean_kw = lean_kwargs(padded, scalars["rdx"],
+                                      scalars["rdy"], scalars["dts"], k0, k1)
 
                 def fused_step(ins, with_tave, ww_mode):
                     lean = ww_mode == "lite"
@@ -297,8 +275,7 @@ class SmallStepLoop:
                             k0=k0, k1=k1, cw=cw, gw=gw,
                         )
                         out = {**out, "w": w_n, "pp": pp_n}
-                    return ({k: out[k] for k in set(carry_keys) | {"t_ave"}},
-                            out)
+                    return {k: out[k] for k in carry_keys}, out
 
             if n_steps > 1:
                 def body(state, _):

@@ -481,6 +481,33 @@ def lean_constants(*, ww_1, u_1, v_1, ft, t_1, fnm, fnp, rdnw,
     return tconst, dvdxi_const, ww1_k0
 
 
+def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None):
+    """(tj, vmem_limit) for the shard_map'd loops: the raised scoped-VMEM
+    limit is validated only at wide-I shapes (>= 384 lanes, where it buys
+    tj >= 4); at narrow shapes an explicit limit can fault the worker (see
+    ``_compiler_params``), and the default budget already gives a large tj
+    there."""
+    use_limit = ni_loc + 2 >= 384
+    vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
+    tj_loc = tj or _pick_tj(
+        K, ni_loc + 2, **({"budget": SHARDED_VMEM_BUDGET} if use_limit else {}))
+    return tj_loc, vmem_limit
+
+
+def lean_kwargs(padded: dict, rdx, rdy, dts, k0: int, k1: int) -> dict:
+    """The lean-mode constants as wrapper kwargs, from a loop's padded
+    local field dict (shared by both shard_map'd loops)."""
+    tconst, dvdxi_const, ww1_k0 = lean_constants(
+        ww_1=padded["ww_1"], u_1=padded["u_1"], v_1=padded["v_1"],
+        ft=padded["ft"], t_1=padded["t_1"], fnm=padded["fnm"],
+        fnp=padded["fnp"], rdnw=padded["rdnw"], muu=padded["muu"],
+        muv=padded["muv"], msfuy=padded["msfuy"],
+        msfvx_inv=padded["msfvx_inv"], msftx=padded["msftx"],
+        msfty=padded["msfty"], rdx=rdx, rdy=rdy, dts=dts, k0=k0, k1=k1,
+    )
+    return {"tconst": tconst, "dvdxi_const": dvdxi_const, "ww1_k0": ww1_k0}
+
+
 def _patch_edge_rows(out: jax.Array, inp: jax.Array, J: int) -> jax.Array:
     """Copy the two never-computed edge rows (0 and J-1) from the input —
     the unaliased-output analog of the pass-through the aliased outputs

@@ -48,8 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..grid import ConfigFlags, GridBounds
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
 from ..ops.advance_mu_t_pallas import (
-    SHARDED_VMEM_BUDGET, SHARDED_VMEM_LIMIT, _pick_tj, advance_mu_t_pallas,
-    lean_constants,
+    advance_mu_t_pallas, lean_kwargs, sharded_tile_params,
 )
 from . import halo
 from .mesh import replicated, sharding2, sharding3
@@ -147,16 +146,7 @@ class ShardedAdvanceMuT:
                 padded[name] = arrs[name]
 
             # pallas wants (J-2) % tj == 0: pad once, outside the loop
-            # the raised scoped-VMEM limit is validated only at wide-I
-            # shapes (>= 384 lanes, where it buys tj >= 4); at narrow
-            # shapes an explicit limit can fault the worker (see
-            # _compiler_params), and the default budget already gives
-            # a large tj there.
-            use_limit = ni_loc + 2 >= 384
-            vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
-            tj_loc = tj or _pick_tj(
-                K, ni_loc + 2,
-                **({'budget': SHARDED_VMEM_BUDGET} if use_limit else {}))
+            tj_loc, vmem_limit = sharded_tile_params(K, ni_loc, tj)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in FIELDS_3D:
@@ -171,20 +161,8 @@ class ShardedAdvanceMuT:
             i0, i1, j0, j1 = window[:4]
 
             if kernel == "pallas":
-                lean_kw = dict(zip(
-                    ("tconst", "dvdxi_const", "ww1_k0"),
-                    lean_constants(
-                        ww_1=padded["ww_1"], u_1=padded["u_1"],
-                        v_1=padded["v_1"], ft=padded["ft"],
-                        t_1=padded["t_1"], fnm=padded["fnm"],
-                        fnp=padded["fnp"], rdnw=padded["rdnw"],
-                        muu=padded["muu"], muv=padded["muv"],
-                        msfuy=padded["msfuy"],
-                        msfvx_inv=padded["msfvx_inv"],
-                        msftx=padded["msftx"], msfty=padded["msfty"],
-                        rdx=scalars["rdx"], rdy=scalars["rdy"],
-                        dts=scalars["dts"], k0=k0, k1=k1,
-                    )))
+                lean_kw = lean_kwargs(padded, scalars["rdx"],
+                                      scalars["rdy"], scalars["dts"], k0, k1)
 
                 def step_fn(ins, wscale, with_tave=True, ww_mode="full"):
                     lean = ww_mode == "lite"
@@ -313,6 +291,25 @@ def case_to_domain(case, with_w: bool = False) -> dict[str, np.ndarray]:
             out[name] = arr[j0 : j1 + 1, i0 : i1 + 1]
         else:
             out[name] = arr
+    return out
+
+
+def embed_outputs(case, out_dom: dict) -> dict:
+    """Embed a loop's domain-shaped outputs back into memory-window arrays
+    for comparison against memory-window goldens: carried state embeds into
+    its own input field, derived 2-D/3-D outputs into zeros."""
+    kw = case.kernel_kwargs()
+    out = {}
+    for name, val in out_dom.items():
+        arr = np.asarray(val)
+        if name in ("ww", "mu", "t", "t_ave", "u", "v"):
+            like = np.asarray(kw[name])
+        elif name in ("w", "pp"):
+            like = np.asarray(case.fields["grid_" + name])
+        else:
+            shape = case.bounds.shape3 if arr.ndim == 3 else case.bounds.shape2
+            like = np.zeros(shape, dtype=np.float32)
+        out[name] = embed_domain(arr, like, case.bounds)
     return out
 
 
