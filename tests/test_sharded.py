@@ -97,3 +97,31 @@ def test_sharded_reference_size(reference_size_case):
 def test_sharded_single_device_pallas(small_case):
     """mesh (1,1) — the single-chip bench path."""
     sharded_vs_oracle(small_case, (1, 1), steps=3, kernel="pallas")
+
+
+def test_distributed_helpers(small_case):
+    """Single-process degenerate path of the multi-host bring-up helpers:
+    global mesh over all devices, per-host slabs assemble to the same
+    global arrays prepare() would build."""
+    import numpy as np
+    from wrf_tpu.parallel import distributed
+    from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
+
+    distributed.initialize()
+    mesh = distributed.global_mesh()
+    assert set(mesh.shape) == {"j", "i"}
+
+    case = small_case
+    nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+    step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags, n_steps=2)
+    dom = case_to_domain(case)
+    ref = step.prepare(dom)
+
+    from wrf_tpu.parallel.sharded import pad_to_mesh
+    slabs = {n: np.asarray(pad_to_mesh(a, mesh)) for n, a in dom.items()}
+    built = distributed.host_local_arrays(mesh, slabs, step.shardings)
+    for name in built:
+        np.testing.assert_array_equal(np.asarray(built[name]),
+                                      np.asarray(ref[name]), err_msg=name)
+    out = step(built, case.rdx, case.rdy, case.dts, case.epssm)
+    assert np.isfinite(np.asarray(out["t"])).all()

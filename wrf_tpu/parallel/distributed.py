@@ -1,0 +1,73 @@
+"""Multi-host bring-up: the executable form of SCALING.md's recipe.
+
+Single-host runs need none of this — ``make_mesh`` over ``jax.devices()``
+is enough.  On a multi-host slice, each host process calls
+:func:`initialize` once, builds the global mesh with :func:`global_mesh`,
+and feeds its host-local slab of every field through
+:func:`host_local_arrays`; ``SmallStepLoop``/``RK3Integrator`` then run
+unchanged (the programs are SPMD and mesh-shape-agnostic — the same code
+is validated on virtual multi-device meshes in CI, and the collectives are
+nearest-neighbor ``ppermute`` rides on ICI/DCN).
+
+Untestable on real multi-host hardware in this environment; the pure
+single-process degenerate path (1 process owning all devices) is covered
+by ``tests/test_sharded.py::test_distributed_helpers``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import make_mesh
+
+
+def initialize(**kwargs) -> None:
+    """Initialize the JAX distributed runtime (idempotent wrapper).
+
+    On TPU pods the coordinator address / process ids are auto-detected;
+    pass-through kwargs override.  Must run before any jax device API."""
+    if jax.process_count() > 1 or kwargs:
+        return  # already initialized (or single-process with no overrides)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process environments (no coordinator) stay local
+        pass
+
+
+def global_mesh(shape: tuple[int, int] | None = None) -> Mesh:
+    """(j, i) mesh over every device of every process."""
+    devices = jax.devices()
+    if shape is None:
+        nj = int(math.sqrt(len(devices)))
+        while len(devices) % nj:
+            nj -= 1
+        shape = (nj, len(devices) // nj)
+    return make_mesh(devices, shape)
+
+
+def host_local_arrays(mesh: Mesh, arrays: dict[str, np.ndarray],
+                      shardings: dict[str, NamedSharding]) -> dict:
+    """Assemble global jax.Arrays from per-host slabs.
+
+    ``arrays`` holds each field's HOST-LOCAL slab (this process's rows of
+    the j-decomposition, full extent on unsharded axes), already padded to
+    mesh-divisible global sizes like ``pad_to_mesh`` does.  Replicated
+    (1-D) fields pass the full vector on every host."""
+    out = {}
+    for name, arr in arrays.items():
+        sh = shardings[name]
+        if sh.spec == P():
+            out[name] = jax.device_put(jnp.asarray(arr, jnp.float32), sh)
+            continue
+        # hosts own contiguous j-slabs (the j axis is the outer mesh axis)
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        out[name] = jax.make_array_from_process_local_data(
+            sh, np.asarray(arr, np.float32), global_shape
+        )
+    return out
