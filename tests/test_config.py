@@ -77,3 +77,28 @@ def test_flag_files_interop_with_fixtures(tmp_path):
     d = fixtures.write_case(case, tmp_path / "fx")
     proj = ConfigFlags26.load_flag_files(d)
     assert proj.kernel_flags() == case.flags
+
+
+def test_dynamics_params_drive_the_loop():
+    """The namelist dynamics group configures the acoustic loop (the
+    reference consumed only 3 BC flags of its 1,796-field record; the
+    framework consumes the dyn_em timestep/damping group too)."""
+    from wrf_tpu.config import GridConfigRecord, dynamics_params
+    rec = GridConfigRecord(
+        dx=12000.0, dy=12000.0, time_step=72, time_step_sound=6,
+        epssm=0.1, smdiv=0.1, specified=True,
+    )
+    p = dynamics_params(rec)
+    assert p["rdx"] == 1.0 / 12000.0
+    assert p["dts"] == 12.0
+    assert p["acoustic_steps"] == 6
+    assert p["smdiv"] == 0.1 and p["epssm"] == 0.1
+    assert p["flags"].specified and not p["flags"].periodic_x
+
+    # and they plug straight into the golden loop
+    import numpy as np
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.models.small_step import small_step_golden
+    case = fixtures.make_case(12, 10, 6, halo=2, seed=3, flags=p["flags"])
+    out = small_step_golden(case, 2, smdiv=p["smdiv"])
+    assert np.isfinite(out["mu"]).all()

@@ -76,8 +76,18 @@ def test_small_step_loop_matches_golden(small_case, mesh_shape, kernel):
                            rtol=5e-5, atol_scale=2e-6)
 
 
-def test_small_step_loop_periodic(periodic_case):
-    sharded_loop_vs_golden(periodic_case, (2, 4), steps=5,
+@pytest.mark.parametrize("kernel", ["xla", "pallas"])
+def test_small_step_loop_periodic(periodic_case, kernel):
+    """Periodic-x BCs exercise the widest masks; the pallas variant also
+    covers lean/lite carries under periodic windows."""
+    sharded_loop_vs_golden(periodic_case, (2, 4), steps=5, kernel=kernel,
+                           rtol=5e-5, atol_scale=2e-6)
+
+
+def test_small_step_loop_open_bc(open_bc_case):
+    """Open BCs make the window reach the ring rows — the pallas path's
+    aliased pass-through edges carry real BC data there."""
+    sharded_loop_vs_golden(open_bc_case, (2, 2), steps=5, kernel="pallas",
                            rtol=5e-5, atol_scale=2e-6)
 
 

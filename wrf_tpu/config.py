@@ -140,6 +140,34 @@ class GridConfigRecord:
         return cls.from_blob(Path(path).read_bytes())
 
 
+def dynamics_params(record: "GridConfigRecord") -> dict:
+    """Map the namelist record onto the acoustic-loop parameters.
+
+    WRF's small step is configured through the namelist (dyn_em section):
+    ``epssm`` (vertical off-centering), ``smdiv`` (divergence damping),
+    ``time_step`` / ``time_step_sound`` (the acoustic substep length
+    dts = dt/ns), ``dx``/``dy`` (rdx = 1/dx).  The reference consumes only
+    three BC flags from its 1,796-field record; this helper makes the rest
+    of the dynamics group drive the framework's loop directly.
+
+    Returns kwargs for the drivers / ``SmallStepLoop``:
+    ``dict(rdx, rdy, dts, epssm, smdiv, acoustic_steps, flags)``.
+    """
+    dx = float(record.dx) or 1.0
+    dy = float(record.dy) or dx
+    ns = int(record.time_step_sound) or 4
+    dt = float(record.time_step) or float(ns)
+    return dict(
+        rdx=1.0 / dx,
+        rdy=1.0 / dy,
+        dts=dt / ns,
+        epssm=float(record.epssm),
+        smdiv=float(record.smdiv),
+        acoustic_steps=ns,
+        flags=record.kernel_flags(),
+    )
+
+
 class ConfigFlags26:
     """The 26-int C projection of the namelist record
     (reference: config_flags.h:4-31): lateral-BC flags, advection orders and
