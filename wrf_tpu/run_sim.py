@@ -1,0 +1,142 @@
+"""Simulation driver: namelist-configured RK3 integration with checkpoints.
+
+The reference ships verification drivers only (one substep, then diff);
+this is the framework's *production* entry point — the piece a user of the
+reference graduates to once their port verifies:
+
+    python -m wrf_tpu.run_sim FIXTURE_DIR --namelist NML.json --steps 10 \\
+        [--mesh JxI] [--with-w] [--checkpoint-dir CK --checkpoint-every N] \\
+        [--resume] [--profile DIR]
+
+* the grid/state comes from a fixture directory (the binary field-per-file
+  format every tier shares);
+* dynamics parameters come from the WRF namelist record
+  (``config.dynamics_params``: dx/dy, time_step, time_step_sound, epssm,
+  smdiv, BC flags) — a JSON file of record-field overrides, or the
+  fixture's scalars when omitted;
+* each large step is one RK3 triple over the mesh-decomposed acoustic
+  loop; state checkpoints land in the comparator-diffable snapshot format
+  (``io.checkpoint``) and ``--resume`` continues from the newest one;
+* per-step wall-clock and grid-points/s are printed like the reference's
+  timing lines; ``--profile`` wraps the run in a ``jax.profiler`` trace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .config import GridConfigRecord, dynamics_params
+from .io import checkpoint, fixtures
+from .models.rk3 import RK3Integrator
+from .parallel.sharded import case_to_domain
+
+
+#: ring-shaped fields the RK3 step evolves (superset; w/pp when --with-w)
+_EVOLVED = ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("fixture_dir")
+    p.add_argument("--namelist", default=None,
+                   help="JSON of GridConfigRecord field overrides")
+    p.add_argument("--steps", type=int, default=1, help="RK3 large steps")
+    p.add_argument("--mesh", default=None, help="JxI mesh shape")
+    p.add_argument("--with-w", action="store_true",
+                   help="include the vertically-implicit w/pp substep")
+    p.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint in "
+                        "--checkpoint-dir")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run")
+    args = p.parse_args(argv)
+
+    import jax
+    from .parallel.mesh import make_mesh
+
+    case, _ = fixtures.read_case(args.fixture_dir)
+    if args.namelist:
+        rec = GridConfigRecord(**json.loads(open(args.namelist).read()))
+        dyn = dynamics_params(rec)
+        flags = dyn["flags"]
+    else:
+        ns = 4
+        dyn = dict(rdx=case.rdx, rdy=case.rdy, dts=case.dts,
+                   epssm=case.epssm, smdiv=0.0, acoustic_steps=ns,
+                   flags=case.flags)
+        flags = case.flags
+    dt = dyn["dts"] * dyn["acoustic_steps"]
+
+    mesh_shape = tuple(int(x) for x in args.mesh.split("x")) if args.mesh else None
+    mesh = make_mesh(
+        jax.devices()[: mesh_shape[0] * mesh_shape[1]] if mesh_shape else None,
+        mesh_shape,
+    )
+    nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+    rk3 = RK3Integrator(mesh, nx, ny, nz, flags,
+                        acoustic_steps=dyn["acoustic_steps"],
+                        kernel=args.kernel, with_w=args.with_w,
+                        smdiv=dyn["smdiv"])
+
+    dom = case_to_domain(case, with_w=args.with_w)
+    start_step = 0
+    dom = {k: np.array(v, copy=True) for k, v in dom.items()}
+    if args.resume and args.checkpoint_dir:
+        from pathlib import Path
+        cks = sorted(Path(args.checkpoint_dir).glob("step_*"))
+        if cks:
+            state, start_step, _ = checkpoint.load_checkpoint(cks[-1])
+            print(f"resuming from {cks[-1]} (step {start_step})")
+            for name, arr in state.items():
+                if name in dom:
+                    dom[name] = arr
+
+    b = case.bounds
+    nx_d, ny_d = b.ide, b.jde
+    n_pts = (b.ide - b.ids) * (b.jde - b.jds) * b.kdim
+
+    def advance(dom):
+        """One RK3 large step; returns the updated ring-shaped state."""
+        out = rk3.step(rk3.prepare(dom), dyn["rdx"], dyn["rdy"], dt,
+                       dyn["epssm"])
+        for name in _EVOLVED:
+            if name in out and name in dom:
+                arr = np.asarray(out[name])  # domain-shaped; readback syncs
+                if arr.ndim == 3:
+                    dom[name][1 : 1 + ny_d, :, 1 : 1 + nx_d] = arr
+                else:
+                    dom[name][1 : 1 + ny_d, 1 : 1 + nx_d] = arr
+        return dom
+
+    from contextlib import nullcontext
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else nullcontext())
+    with prof:
+        for step in range(start_step, start_step + args.steps):
+            t0 = time.perf_counter()
+            dom = advance(dom)
+            dt_s = time.perf_counter() - t0
+            assert np.isfinite(dom["t"]).all(), f"non-finite t at step {step}"
+            per_sub = dt_s / sum(n for _, n in rk3.stages)
+            print(f"step {step + 1}: {dt_s * 1e3:.1f} ms "
+                  f"({per_sub * 1e3:.2f} ms/substep, "
+                  f"{n_pts / per_sub:.3e} grid-points/s)", flush=True)
+            if args.checkpoint_dir and (step + 1) % args.checkpoint_every == 0:
+                state = {k: dom[k] for k in _EVOLVED if k in dom}
+                d = checkpoint.save_checkpoint(
+                    f"{args.checkpoint_dir}/step_{step + 1:06d}",
+                    state, step=step + 1)
+                print(f"  checkpoint -> {d}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
