@@ -125,3 +125,32 @@ def test_distributed_helpers(small_case):
                                       np.asarray(ref[name]), err_msg=name)
     out = step(built, case.rdx, case.rdy, case.dts, case.epssm)
     assert np.isfinite(np.asarray(out["t"])).all()
+
+
+def test_remote_dma_halo_matches_ppermute(small_case):
+    """The Pallas remote-DMA halo exchange (SURVEY §7's chip-to-chip path)
+    produces exactly what the production ppermute refresh produces, on the
+    virtual 8-device mesh."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from wrf_tpu.parallel import halo
+
+    # single named axis: pallas LOGICAL device ids address one mesh axis
+    mesh = jax.make_mesh((8,), ("j",), devices=jax.devices()[:8])
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((8 * 6, 4, 16)).astype(np.float32)
+
+    def run(backend):
+        def local(blk):
+            blkp = halo.pad_axis(blk, 0)  # halo rows, then refresh them
+            if backend == "ppermute":
+                return halo.refresh_axis(blkp, 0, "j")
+            return halo.remote_refresh_axis(blkp, "j", interpret=True)
+        f = jax.shard_map(local, mesh=mesh,
+                          in_specs=P("j", None, None),
+                          out_specs=P("j", None, None), check_vma=False)
+        return np.asarray(jax.jit(f)(jnp.asarray(x)))
+
+    np.testing.assert_array_equal(run("rdma"), run("ppermute"))

@@ -77,6 +77,67 @@ def refresh_axis(xp: jax.Array, axis: int, axis_name: str,
     return lax.dynamic_update_slice(xp, from_next, starts_hi)
 
 
+def remote_refresh_axis(xp: jax.Array, axis_name: str,
+                        n_interior: int | None = None,
+                        collective_id: int = 0,
+                        interpret: bool = False) -> jax.Array:
+    """``refresh_axis`` (axis 0) implemented as explicit Pallas
+    ring-neighbor remote DMA (``pltpu.make_async_remote_copy``) instead of
+    XLA ``ppermute`` — the chip-to-chip path SURVEY.md §7 calls for when
+    halo transfers should overlap in-kernel compute.
+
+    Each shard RDMAs its first/last interior rows straight into its
+    neighbors' halo slots of the aliased output block; ``rdma.wait()``
+    pairs every send with the matching receive, so the exchange needs no
+    separate barrier.  On this framework's measured balance the halo
+    traffic is <3% of substep time (SCALING.md), so the production loops
+    keep the simpler ``ppermute`` form; this backend is validated against
+    it on the virtual multi-device mesh and stands ready for slices where
+    overlap matters.  (Pallas LOGICAL device ids address a single named
+    mesh axis — use a 1-axis mesh, or extend to MESH coordinates for 2-D
+    decompositions.)
+    """
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_int = (xp.shape[0] - 2) if n_interior is None else n_interior
+
+    def kernel(x_ref, o_ref, send_lo, recv_lo, send_hi, recv_hi):
+        del x_ref  # aliased onto o_ref
+        my = lax.axis_index(axis_name)
+        n = lax.axis_size(axis_name)
+        nxt = lax.rem(my + 1, n)
+        prv = lax.rem(my + n - 1, n)
+        # my last interior row -> next shard's low halo slot
+        up = pltpu.make_async_remote_copy(
+            src_ref=o_ref.at[pl.ds(n_int, 1)],
+            dst_ref=o_ref.at[pl.ds(0, 1)],
+            send_sem=send_hi, recv_sem=recv_lo,
+            device_id=nxt, device_id_type=pltpu.DeviceIdType.LOGICAL)
+        # my first interior row -> previous shard's high halo slot
+        down = pltpu.make_async_remote_copy(
+            src_ref=o_ref.at[pl.ds(1, 1)],
+            dst_ref=o_ref.at[pl.ds(n_int + 1, 1)],
+            send_sem=send_lo, recv_sem=recv_hi,
+            device_id=prv, device_id_type=pltpu.DeviceIdType.LOGICAL)
+        up.start()
+        down.start()
+        up.wait()
+        down.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        input_output_aliases={0: 0},
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())] * 4,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        interpret=interpret,
+    )(xp)
+
+
 def halo3(x: jax.Array, j_sharded: bool = True, i_sharded: bool = True) -> jax.Array:
     """(j, k, i) local block -> (j+2, k, i+2)."""
     return with_halo(x, j_axis=0, i_axis=2, j_sharded=j_sharded, i_sharded=i_sharded)
