@@ -13,7 +13,9 @@ Layers (mirroring the reference's architecture, SURVEY.md §1):
   L2 numerics    — ``ops`` (numpy golden path, jnp, fused Pallas kernel)
                    and ``native`` (C++ scalar oracle)
   L3 parallel    — ``parallel`` (mesh, halo exchange, sharded stepping)
-  L4 drivers     — ``models`` (small-step loop), CLI drivers, pytest harness
+  L4 drivers     — ``models`` (small-step loop, RK3), CLI drivers
+                   (``python -m wrf_tpu.driver`` verification,
+                   ``python -m wrf_tpu.run_sim`` simulation), pytest harness
 """
 
 from .grid import ConfigFlags, GridBounds
