@@ -48,6 +48,15 @@ one-thread-per-column CUDA kernel, advance_mu_t_kernel.cu:16-198):
   * ``with_tave=False`` drops the t_ave input/output streams — inside a
     multi-substep scan only the final substep needs them (t_ave is
     pointwise t_old, never read back), saving 2 more field passes;
+  * ``ww_mode="lite"`` (scan substeps) carries only ww's 2-D scan-seed
+    row between substeps — nothing else reads the carried field mid-loop
+    — and ``"final"`` re-materializes the full ww once at the end:
+    another full read AND write saved per substep;
+  * ``lean`` folds every constant field that combines linearly with the
+    dynamic state (u_1/v_1 static fluxes, ft, the ww_1 theta-flux part)
+    into two precomputed 3-D constants, trading 4 streams for 2 — the
+    scan substep then moves ≈7.6 field-passes vs the naive 13.5, at the
+    measured HBM speed-of-light;
   * an optional wind-scale SMEM scalar multiplies u/v on load (skipped
     entirely when statically 1) — the mu_t-only loop uses it to model
     per-step wind updates without an extra XLA pass over u/v;
