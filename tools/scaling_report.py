@@ -68,7 +68,7 @@ def analyze(case, mesh_shape, steps, with_w=False):
 
 def main():
     args = [int(a) for a in sys.argv[1:5]]
-    nx, ny, nz, steps = (args + [64, 64, 16, 4])[:4] if args else (64, 64, 16, 4)
+    nx, ny, nz, steps = args + [64, 64, 16, 4][len(args):]
     case = fixtures.make_case(nx, ny, nz, halo=2, seed=5)
     print(f"domain {nx}x{ny}x{nz}, {steps} substeps per compile")
     for shape in ((1, 1), (2, 2), (4, 2), (8, 1)):

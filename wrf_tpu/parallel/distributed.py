@@ -30,14 +30,17 @@ def initialize(**kwargs) -> None:
     """Initialize the JAX distributed runtime (idempotent wrapper).
 
     On TPU pods the coordinator address / process ids are auto-detected;
-    pass-through kwargs override.  Must run before any jax device API."""
-    if jax.process_count() > 1 or kwargs:
-        return  # already initialized (or single-process with no overrides)
+    kwargs pass through.  Explicit configuration errors surface; only the
+    single-process no-coordinator case (and double initialization) are
+    tolerated silently so the same entry point runs everywhere."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process environments (no coordinator) stay local
-        pass
+    except RuntimeError:
+        pass  # already initialized
+    except ValueError:
+        if kwargs:
+            raise  # the caller explicitly configured a cluster: surface it
+        # single-process environment with no coordinator: stay local
 
 
 def global_mesh(shape: tuple[int, int] | None = None) -> Mesh:

@@ -110,6 +110,19 @@ def remote_refresh_axis(xp: jax.Array, axis_name: str,
         n = lax.axis_size(axis_name)
         nxt = lax.rem(my + 1, n)
         prv = lax.rem(my + n - 1, n)
+        # neighbor barrier: an RDMA writes into the neighbor's DONATED
+        # buffer, so both neighbors must have entered the kernel (and thus
+        # finished every earlier read of that buffer) before any send.
+        # Interpret mode executes shards synchronously (no race) and
+        # cannot lower the barrier semaphore, so the barrier is compiled
+        # in only for real hardware.
+        if not interpret:
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(barrier, inc=1, device_id=nxt,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(barrier, inc=1, device_id=prv,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(barrier, 2)
         # my last interior row -> next shard's low halo slot
         up = pltpu.make_async_remote_copy(
             src_ref=o_ref.at[pl.ds(n_int, 1)],

@@ -103,18 +103,37 @@ def main(argv=None) -> int:
     nx_d, ny_d = b.ide, b.jde
     n_pts = (b.ide - b.ids) * (b.jde - b.jds) * b.kdim
 
-    def advance(dom):
-        """One RK3 large step; returns the updated ring-shaped state."""
-        out = rk3.step(rk3.prepare(dom), dyn["rdx"], dyn["rdy"], dt,
-                       dyn["epssm"])
+    # state stays DEVICE-RESIDENT across large steps: constants upload
+    # once, the evolved interiors fold back into the ring arrays on device,
+    # and only a scalar checksum syncs each step (full readback happens at
+    # checkpoint boundaries only)
+    arrays = rk3.prepare(dom)
+    import jax.numpy as jnp
+
+    def advance(arrays):
+        out = rk3.step(arrays, dyn["rdx"], dyn["rdy"], dt, dyn["epssm"])
         for name in _EVOLVED:
-            if name in out and name in dom:
-                arr = np.asarray(out[name])  # domain-shaped; readback syncs
-                if arr.ndim == 3:
-                    dom[name][1 : 1 + ny_d, :, 1 : 1 + nx_d] = arr
+            if name in out and name in arrays:
+                val = out[name]
+                if val.ndim == 3:
+                    arrays[name] = arrays[name].at[
+                        1 : 1 + ny_d, :, 1 : 1 + nx_d].set(val)
                 else:
-                    dom[name][1 : 1 + ny_d, 1 : 1 + nx_d] = arr
-        return dom
+                    arrays[name] = arrays[name].at[
+                        1 : 1 + ny_d, 1 : 1 + nx_d].set(val)
+        return arrays, out
+
+    def snapshot(arrays):
+        """Ring-shaped host copies of the evolved state (mesh padding
+        stripped) — the checkpoint/readback boundary."""
+        state = {}
+        for name in _EVOLVED:
+            if name not in arrays:
+                continue
+            arr = np.asarray(arrays[name])
+            state[name] = (arr[: ny_d + 2, :, : nx_d + 2] if arr.ndim == 3
+                           else arr[: ny_d + 2, : nx_d + 2])
+        return state
 
     from contextlib import nullcontext
     prof = (jax.profiler.trace(args.profile) if args.profile
@@ -122,18 +141,19 @@ def main(argv=None) -> int:
     with prof:
         for step in range(start_step, start_step + args.steps):
             t0 = time.perf_counter()
-            dom = advance(dom)
+            arrays, out = advance(arrays)
+            checksum = float(jnp.sum(out["t"]))  # scalar readback = sync
             dt_s = time.perf_counter() - t0
-            assert np.isfinite(dom["t"]).all(), f"non-finite t at step {step}"
+            assert np.isfinite(checksum), f"non-finite t at step {step}"
             per_sub = dt_s / sum(n for _, n in rk3.stages)
+            note = " (incl. compile)" if step == start_step else ""
             print(f"step {step + 1}: {dt_s * 1e3:.1f} ms "
                   f"({per_sub * 1e3:.2f} ms/substep, "
-                  f"{n_pts / per_sub:.3e} grid-points/s)", flush=True)
+                  f"{n_pts / per_sub:.3e} grid-points/s){note}", flush=True)
             if args.checkpoint_dir and (step + 1) % args.checkpoint_every == 0:
-                state = {k: dom[k] for k in _EVOLVED if k in dom}
                 d = checkpoint.save_checkpoint(
                     f"{args.checkpoint_dir}/step_{step + 1:06d}",
-                    state, step=step + 1)
+                    snapshot(arrays), step=step + 1)
                 print(f"  checkpoint -> {d}", flush=True)
     return 0
 
