@@ -122,6 +122,7 @@ def make_case(
     *,
     halo: int = 3,
     seed: int = 2026,
+    amplitude: float = 1.0,
     flags: ConfigFlags | None = None,
 ) -> Case:
     """Mint a physically plausible advance_mu_t input set.
@@ -130,6 +131,13 @@ def make_case(
     Magnitudes are modeled on WRF: column dry mass ``mut`` ~ tens of kPa,
     mass-coupled winds ``u,v`` ~ mu*u ~ 1e5, theta perturbations ~ O(10),
     map-scale factors ~ 1, eta-layer thicknesses ``dnw`` < 0 summing to -1.
+
+    ``amplitude`` scales the dynamic perturbations (winds, theta, omega).
+    The default noise-like fields have no physical balance and are meant
+    for differential verification over bounded substep counts; multi-
+    LARGE-step integrations (run_sim) need ``amplitude`` ~ 1e-2 (or real
+    balanced data) to stay stable — the golden path diverges identically
+    otherwise.
     """
     flags = flags or ConfigFlags(specified=True)
     b = GridBounds.for_domain(nx, ny, nz, halo=halo)
@@ -167,18 +175,18 @@ def make_case(
         "grid_mu_2": _smooth2(rng, s2, 1e2),
         "mu_tend": _smooth2(rng, s2, 1e-1),
         # mass-coupled winds ~ mu * u / msf ~ 5e4 * 20
-        "grid_u_2": _smooth3(rng, s3, 1e6),
-        "grid_u_save": _smooth3(rng, s3, 2e1),
-        "grid_v_2": _smooth3(rng, s3, 1e6),
-        "grid_v_save": _smooth3(rng, s3, 2e1),
+        "grid_u_2": _smooth3(rng, s3, 1e6 * amplitude),
+        "grid_u_save": _smooth3(rng, s3, 2e1 * amplitude),
+        "grid_v_2": _smooth3(rng, s3, 1e6 * amplitude),
+        "grid_v_save": _smooth3(rng, s3, 2e1 * amplitude),
         # theta perturbation and its tendency
-        "grid_t_save": _smooth3(rng, s3, 1e1),
-        "grid_t_2": _smooth3(rng, s3, 1e4),
-        "t_tend": _smooth3(rng, s3, 1e0),
-        "t_2save": _smooth3(rng, s3, 1e4),
+        "grid_t_save": _smooth3(rng, s3, 1e1 * amplitude),
+        "grid_t_2": _smooth3(rng, s3, 1e4 * amplitude),
+        "t_tend": _smooth3(rng, s3, 1e0 * amplitude),
+        "t_2save": _smooth3(rng, s3, 1e4 * amplitude),
         # small-step omega
-        "grid_ww": _smooth3(rng, s3, 1e-1),
-        "ww1": _smooth3(rng, s3, 1e-3),
+        "grid_ww": _smooth3(rng, s3, 1e-1 * amplitude),
+        "ww1": _smooth3(rng, s3, 1e-3 * amplitude),
         # vertical-acoustics extension (advance_w): vertical velocity and
         # pressure-like perturbation on w levels
         "grid_w": _smooth3(rng, s3, 1e0),

@@ -16,7 +16,12 @@ real tendencies are out of scope for the sample's capability set.
 
 The default hook keeps the supplied (fixture) tendencies, which makes stages
 1 and 2 provisional-state evaluations that feed nothing — exactly the
-degenerate case; supply a hook to close the loop.
+degenerate case; supply a hook to close the loop.  NOTE: the degenerate
+shell is linearly unstable over MANY large steps (the acoustic coupling
+compounds with re-snapshotted *_1 fields and no tendency feedback; the
+golden path diverges identically, amplitude-independently) — bounded
+large-step horizons verify the integration structure, and long
+integrations need a real ``tendency_fn``.
 """
 
 from __future__ import annotations

@@ -144,7 +144,16 @@ def main(argv=None) -> int:
             arrays, out = advance(arrays)
             checksum = float(jnp.sum(out["t"]))  # scalar readback = sync
             dt_s = time.perf_counter() - t0
-            assert np.isfinite(checksum), f"non-finite t at step {step}"
+            if not np.isfinite(checksum):
+                raise SystemExit(
+                    f"non-finite state at step {step + 1} (NaN tripwire). "
+                    "The degenerate RK3 shell (frozen slow tendencies; "
+                    "see models/rk3.py) is linearly unstable over many "
+                    "large steps — the golden path diverges at the same "
+                    "step.  Supply a tendency_fn that recomputes the slow "
+                    "forcing (the WRF physics/advection packages the "
+                    "reference's capability set excludes), or integrate "
+                    "within a bounded large-step horizon.")
             per_sub = dt_s / sum(n for _, n in rk3.stages)
             note = " (incl. compile)" if step == start_step else ""
             print(f"step {step + 1}: {dt_s * 1e3:.1f} ms "
