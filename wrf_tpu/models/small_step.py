@@ -154,7 +154,8 @@ class SmallStepLoop:
             for name in F1:
                 padded[name] = arrs[name]
 
-            tj_loc, vmem_limit = sharded_tile_params(K, ni_loc, tj)
+            tj_loc, vmem_limit = sharded_tile_params(
+                K, ni_loc, tj, streams=56 if with_w else 44)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in F3:

@@ -403,14 +403,16 @@ SHARDED_VMEM_LIMIT = 64 * 2**20
 SHARDED_VMEM_BUDGET = 56 * 2**20
 
 
-def _pick_tj(K: int, I: int, budget: int = 15 * 2**20) -> int:
+def _pick_tj(K: int, I: int, budget: int = 15 * 2**20,
+             streams: int = 44) -> int:
     """Largest power-of-two j-tile whose working set fits the scoped-VMEM
     ``budget`` (default: Mosaic's 16 MiB default limit minus slack).  The
-    per-tj cost model matches Mosaic's observed accounting (~42 double-
-    buffered (1,K,I)-row streams + scratch + thin 2-D streams); the
+    per-tj cost model matches Mosaic's observed accounting (``streams``
+    double-buffered (1,K,I)-row streams + scratch + thin 2-D streams:
+    ~44 for the plain substep, ~56 with the fused w solve); the
     shard_map'd loops pass ``SHARDED_VMEM_BUDGET`` together with a raised
     ``vmem_limit``."""
-    per_tj = 4 * I * (44 * K + 40)
+    per_tj = 4 * I * (streams * K + 40)
     for cand in (32, 16, 8, 4, 2):
         if cand * per_tj <= budget:
             return cand
@@ -490,7 +492,8 @@ def lean_constants(*, ww_1, u_1, v_1, ft, t_1, fnm, fnp, rdnw,
     return tconst, dvdxi_const, ww1_k0
 
 
-def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None):
+def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None,
+                        streams: int = 44):
     """(tj, vmem_limit) for the shard_map'd loops: the raised scoped-VMEM
     limit is validated only at wide-I shapes (>= 384 lanes, where it buys
     tj >= 4); at narrow shapes an explicit limit can fault the worker (see
@@ -499,7 +502,8 @@ def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None):
     use_limit = ni_loc + 2 >= 384
     vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
     tj_loc = tj or _pick_tj(
-        K, ni_loc + 2, **({"budget": SHARDED_VMEM_BUDGET} if use_limit else {}))
+        K, ni_loc + 2, streams=streams,
+        **({"budget": SHARDED_VMEM_BUDGET} if use_limit else {}))
     return tj_loc, vmem_limit
 
 
