@@ -57,3 +57,14 @@ def test_driver_dump_intermediates(tmp_path, small_case):
     assert (dump / "muave_before_theta.bin").exists()
     assert (dump / "muts_before_theta.bin").exists()
     assert (dump / "mudf_before_theta.bin").exists()
+
+
+def test_driver_coupled_native_tier(tmp_path, small_case, capsys):
+    """The native C++ coupled loop through the CLI is bit-identical to the
+    golden loop (max_ulp=0 on every compared field)."""
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=3)
+    rc = driver.main([str(d), "--tier", "coupled-native", "--with-w"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [l for l in out.splitlines() if "golden loop" in l]
+    assert lines and all("max_ulp=0" in l for l in lines), out

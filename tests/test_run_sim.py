@@ -28,10 +28,14 @@ def _fixture(tmp_path, case, calm: bool = False):
 
 def test_run_sim_smoke(tmp_path, small_case, capsys):
     d = _fixture(tmp_path, small_case)
-    rc = run_sim.main([d, "--steps", "2", "--mesh", "2x2", "--with-w"])
+    rc = run_sim.main([d, "--steps", "2", "--mesh", "2x2", "--with-w",
+                       "--diagnostics", "--profile",
+                       str(tmp_path / "trace")])
     out = capsys.readouterr().out
     assert rc == 0
     assert out.count("grid-points/s") == 2
+    assert out.count("column-mass") == 2
+    assert (tmp_path / "trace").exists()
 
 
 def test_run_sim_namelist(tmp_path, small_case, capsys):

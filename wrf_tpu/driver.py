@@ -52,6 +52,44 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
     matching the reference's timing policy."""
     kw = case.kernel_kwargs()
 
+    if tier == "coupled-native":
+        # the full coupled loop on the native C++ tier (advance_uv +
+        # advance_mu_t + optional advance_w per substep), verified against
+        # the numpy golden loop (bit-identical by construction)
+        from .models.small_step import small_step_golden
+        from .native import (advance_mu_t_native, advance_uv_native,
+                             advance_w_native)
+        from .ops.advance_uv import DEFAULT_CS2
+        from .ops.advance_w import DEFAULT_CW, DEFAULT_GW
+        state = {k: kw[k] for k in ("ww", "mu", "t", "t_ave", "u", "v")}
+        if with_w:
+            wst = {"w": case.fields["grid_w"], "pp": case.fields["grid_pp"]}
+        out = dict(state)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            u, v = advance_uv_native(
+                u=state["u"], v=state["v"], mu=state["mu"],
+                muu=kw["muu"], muv=kw["muv"], msfuy=kw["msfuy"],
+                msfvx_inv=kw["msfvx_inv"], rdx=kw["rdx"], rdy=kw["rdy"],
+                dts=kw["dts"], cs2=DEFAULT_CS2,
+                flags=case.flags, bounds=case.bounds)
+            out = advance_mu_t_native(**{**kw, **state, "u": u, "v": v})
+            if with_w:
+                wst["w"], wst["pp"] = advance_w_native(
+                    w=wst["w"], pp=wst["pp"], t=out["t"],
+                    rdn=case.fields["grid_rdn"], rdnw=kw["rdnw"],
+                    dts=kw["dts"], epssm=kw["epssm"],
+                    cw=DEFAULT_CW, gw=DEFAULT_GW,
+                    flags=case.flags, bounds=case.bounds)
+            state = {**{k: out[k] for k in ("ww", "mu", "t", "t_ave")},
+                     "u": u, "v": v}
+        dt = time.perf_counter() - t0
+        out = {**out, "u": state["u"], "v": state["v"]}
+        if with_w:
+            out.update(wst)
+        gold = small_step_golden(case, steps, with_w=with_w)
+        return out, dt, gold
+
     if tier.startswith("coupled"):
         import jax
         from .models.small_step import SmallStepLoop, small_step_golden
@@ -162,7 +200,7 @@ def main(argv=None) -> int:
     p.add_argument("--tier", default="pallas",
                    choices=["numpy", "native", "xla", "pallas",
                             "sharded-xla", "sharded-pallas",
-                            "coupled", "coupled-xla"])
+                            "coupled", "coupled-xla", "coupled-native"])
     p.add_argument("--with-w", action="store_true",
                    help="coupled tiers: include the vertically-implicit "
                         "w/pp substep")

@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                         "--checkpoint-dir")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the run")
+    p.add_argument("--diagnostics", action="store_true",
+                   help="print per-step physics diagnostics (total column "
+                        "mass and its drift — advance_mu_t IS the mass-"
+                        "conservation update, so drift beyond boundary "
+                        "fluxes indicates trouble)")
     args = p.parse_args(argv)
 
     import jax
@@ -138,6 +143,7 @@ def main(argv=None) -> int:
     from contextlib import nullcontext
     prof = (jax.profiler.trace(args.profile) if args.profile
             else nullcontext())
+    mass0 = None
     with prof:
         for step in range(start_step, start_step + args.steps):
             t0 = time.perf_counter()
@@ -159,6 +165,15 @@ def main(argv=None) -> int:
             print(f"step {step + 1}: {dt_s * 1e3:.1f} ms "
                   f"({per_sub * 1e3:.2f} ms/substep, "
                   f"{n_pts / per_sub:.3e} grid-points/s){note}", flush=True)
+            if args.diagnostics:
+                mass = float(jnp.sum(out["mu"], dtype=jnp.float64)
+                             if jax.config.jax_enable_x64
+                             else jnp.sum(out["mu"]))
+                if mass0 is None:
+                    mass0 = mass if mass else 1.0
+                print(f"  total column-mass perturbation {mass:.6e} "
+                      f"(drift {(mass - mass0) / abs(mass0):+.2e})",
+                      flush=True)
             if args.checkpoint_dir and (step + 1) % args.checkpoint_every == 0:
                 d = checkpoint.save_checkpoint(
                     f"{args.checkpoint_dir}/step_{step + 1:06d}",
