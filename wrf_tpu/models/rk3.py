@@ -32,7 +32,7 @@ import numpy as np
 
 from ..grid import ConfigFlags
 from ..ops.advance_uv import DEFAULT_CS2
-from .small_step import STATE_KEYS, SmallStepLoop, small_step_golden
+from .small_step import SmallStepLoop, small_step_golden
 
 #: large-step fields re-snapshotted at every stage start (the *_1 inputs
 #: and the time-average buffers)

@@ -97,8 +97,6 @@ def remote_refresh_axis(xp: jax.Array, axis_name: str,
     mesh axis — use a 1-axis mesh, or extend to MESH coordinates for 2-D
     decompositions.)
     """
-    from functools import partial
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

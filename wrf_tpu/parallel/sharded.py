@@ -37,7 +37,6 @@ zero-padded up to mesh-divisible sizes; padding is excluded by the masks.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
