@@ -133,12 +133,15 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         arr = {k: v for k, v in kw.items() if hasattr(v, "ndim")}
         sc = {k: kw[k] for k in ("rdx", "rdy", "dts", "epssm")}
         if tier == "pallas":
+            import jax
             from .ops.advance_mu_t_pallas import advance_mu_t_pallas
+            interp = jax.devices()[0].platform == "cpu"
 
             def step(ins):
                 return advance_mu_t_pallas(
                     **ins, **sc, window=(i0, i1, j0, j1),
                     k0=k0, k1=k1, kde=b.mem(b.kde, "k"),
+                    interpret=interp,
                 )
         else:
             from .ops.advance_mu_t_jnp import advance_mu_t_core, window_masks
@@ -200,7 +203,8 @@ def main(argv=None) -> int:
     p.add_argument("--tier", default="pallas",
                    choices=["numpy", "native", "xla", "pallas",
                             "sharded-xla", "sharded-pallas",
-                            "coupled", "coupled-xla", "coupled-native"])
+                            "coupled", "coupled-xla", "coupled-native",
+                            "all"])
     p.add_argument("--with-w", action="store_true",
                    help="coupled tiers: include the vertically-implicit "
                         "w/pp substep")
@@ -212,6 +216,28 @@ def main(argv=None) -> int:
     case, fx_steps = fixtures.read_case(args.fixture_dir)
     steps = args.steps if args.steps is not None else fx_steps
     mesh_shape = tuple(int(x) for x in args.mesh.split("x")) if args.mesh else None
+
+    if args.tier == "all":
+        # the reference's workflow of running every tier's driver side by
+        # side, as one command: per tier, worst per-field result vs the
+        # fixture goldens
+        golden = fixtures.read_golden(args.fixture_dir, case.bounds)
+        failures = 0
+        for tier in ("numpy", "native", "xla", "pallas", "sharded-pallas"):
+            out, dt, _ = run_tier(case, steps, tier, mesh_shape)
+            worst = max((compare(out[n], golden[n], n)
+                         for n in GOLDEN_FILES), key=lambda r: r.max_abs_err)
+            ok = all(compare(out[n], golden[n], n).allclose(rtol=1e-4,
+                                                            atol=1e-2)
+                     for n in GOLDEN_FILES)
+            failures += 0 if ok else 1
+            print(f"{tier:>15}: {dt / steps * 1e3:9.3f} ms/step   "
+                  f"worst field {worst.name}: max_abs={worst.max_abs_err:.3e}"
+                  f" max_ulp={worst.max_ulp}   "
+                  f"{'PASS' if ok else 'FAIL'}")
+        if failures:
+            print(f"FAILED: {failures} tier(s)")
+        return 1 if failures else 0
 
     out, dt, gold_override = run_tier(case, steps, args.tier, mesh_shape,
                                       capture=bool(args.dump_intermediates),
