@@ -73,7 +73,22 @@ def bench_single_chip(nx=512, ny=512, nz=50, n1=50, n2=250, repeats=4):
     return points / per_step, per_step
 
 
+def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:
+    """The TPU relay worker takes 1-3 min to restart after a fault; gate
+    the benchmark on a trivial computation so a restart window does not
+    turn into a failed bench record."""
+    for i in range(attempts):
+        try:
+            if float(jnp.ones((8, 128)).sum()) == 1024.0:
+                return
+        except Exception:
+            pass
+        time.sleep(pause)
+    raise RuntimeError("TPU backend unhealthy after retries")
+
+
 def main():
+    _wait_healthy()
     gps, per_step = bench_single_chip()
     print(
         json.dumps(
