@@ -183,3 +183,32 @@ def test_native_uv_damping_bitwise(small_case):
     uc, vc = advance_uv_native(**args, cs2=25.0, mudf=mudf, smdiv=0.1,
                                flags=case.flags, bounds=case.bounds)
     assert (ug == uc).all() and (vg == vc).all()
+
+
+def test_everything_on_50_steps(small_case):
+    """Capstone: the full feature stack at once — 2-D mesh, fused winds,
+    divergence damping, the implicit w substep, 50 device-resident
+    substeps — reassembles to the golden loop."""
+    case = small_case
+    mesh = make_mesh(jax.devices(), (4, 2))
+    nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+    loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=50,
+                         with_w=True, smdiv=0.1)
+    arrays = loop.prepare(case_to_domain(case, with_w=True))
+    got_dom = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+    gold = small_step_golden(case, 50, with_w=True, smdiv=0.1)
+    from wrf_tpu.parallel.sharded import embed_outputs
+    outputs_allclose(embed_outputs(case, got_dom), gold,
+                     rtol=1e-4, atol_scale=1e-5)
+
+
+def test_fixture_amplitude_scaling():
+    a1 = fixtures.make_case(12, 10, 6, halo=2, seed=3)
+    a2 = fixtures.make_case(12, 10, 6, halo=2, seed=3, amplitude=0.5)
+    import numpy as np
+    u1 = np.asarray(a1.fields["grid_u_2"])
+    u2 = np.asarray(a2.fields["grid_u_2"])
+    np.testing.assert_allclose(u2, 0.5 * u1, rtol=1e-6)
+    # non-dynamic fields untouched
+    assert (np.asarray(a1.fields["grid_mut"])
+            == np.asarray(a2.fields["grid_mut"])).all()
