@@ -1,23 +1,31 @@
-"""Benchmark: advance_mu_t small-step throughput on TPU.
+"""Benchmark: small-step throughput on TPU, full config matrix.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "grid-points/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "grid-points/s", "vs_baseline": N,
+   "configs": [{...}, ...]}
 
-Baseline: the reference's published CUDA number — 74x61x32 grid in 0.051 ms on
-3x GTX-680 (reference README.md:16-24) = 2.833e9 grid-points/s for the whole
-3-GPU desktop.  ``vs_baseline`` is our single-chip grid-points/s over that.
+The headline record (top-level value) is the mu_t-only device-resident loop
+at 512x512x50 — the same metric every round reports, so BENCH_r*.json stays
+round-over-round comparable.  ``configs`` adds machine-readable records for
+the flagship coupled substep (advance_uv + advance_mu_t fused), the
+coupled+w stack (adds the vertically-implicit w/pp substep), and the
+CONUS-scale 1500x1500x50 coupled run.
 
-Config (BASELINE.json configs[1]): 512x512x50 grid, fp32, device-resident
-small-step scan.  ``vary_winds`` forces the loop-carried dependence the real
-acoustic loop has so XLA cannot hoist physics out of the scan.
+Baseline: the reference's published CUDA number — 74x61x32 grid in 0.051 ms
+on 3x GTX-680 (reference README.md:16-24) = 2.833e9 grid-points/s for the
+whole 3-GPU desktop.  ``vs_baseline`` is our single-chip grid-points/s over
+that.
 
 Timing methodology: this environment tunnels to the TPU through an async
-relay where ``block_until_ready`` does NOT synchronize — only a data readback
-does, costing a ~30 ms round trip.  So the loop is timed as the *difference*
-between two step counts with a scalar-checksum readback forcing execution:
-per_step = (T(n2) - T(n1)) / (n2 - n1).  This cancels dispatch latency,
-compile-cache effects and the readback, and (like the reference's timed
-window, advance_mu_t_no_async.cu:324-363) excludes host transfers.
+relay where ``block_until_ready`` does NOT synchronize — only a data
+readback does, costing a ~30 ms round trip.  So each config is timed as the
+*difference* between two step counts with a scalar-checksum readback
+forcing execution: per_step = (T(n2) - T(n1)) / (n2 - n1).  This cancels
+dispatch latency, compile-cache effects and the readback, and (like the
+reference's timed window, advance_mu_t_no_async.cu:324-363) excludes host
+transfers.  CONUS compiles take ~250-300 s per loop build, so that config
+uses a single-compile T(n)/n protocol with the measured readback round-trip
+subtracted.
 """
 
 from __future__ import annotations
@@ -32,33 +40,37 @@ import numpy as np
 REFERENCE_GPS = 144448 / 51e-6  # 74*61*32 points / 0.051 ms
 
 
-def _timed_loop(mesh, case, nx, ny, nz, steps):
-    """Compiled: run `steps` small steps, return a scalar checksum."""
-    from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
-
-    step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                             vary_winds=True)
-    arrays = step.prepare(case_to_domain(case))
-    scalars = (case.rdx, case.rdy, case.dts, case.epssm)
-
+def _make_run(loop, arrays, scalars):
     def run():
-        out = step(arrays, *scalars)
+        out = loop(arrays, *scalars)
         # scalar readback is the only true synchronization point here
         return float(jnp.sum(out["t"][:, 0, :]) + jnp.sum(out["mu"]))
 
     return run
 
 
-def bench_single_chip(nx=512, ny=512, nz=50, n1=50, n2=250, repeats=4):
-    from wrf_tpu.io import fixtures
-    from wrf_tpu.parallel.mesh import make_mesh
+def _build(mesh, case, nx, ny, nz, steps, coupled, with_w):
+    from wrf_tpu.models.small_step import SmallStepLoop
+    from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
-    mesh = make_mesh([jax.devices()[0]], (1, 1))
-    case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+    if coupled:
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             with_w=with_w)
+        arrays = loop.prepare(case_to_domain(case, with_w=with_w))
+    else:
+        loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, vary_winds=True)
+        arrays = loop.prepare(case_to_domain(case))
+    return _make_run(loop, arrays,
+                     (case.rdx, case.rdy, case.dts, case.epssm))
 
-    results = {}
+
+def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
+                   coupled=False, with_w=False):
+    """per-step seconds by the two-step-count difference method."""
+    times = {}
     for steps in (n1, n2):
-        run = _timed_loop(mesh, case, nx, ny, nz, steps)
+        run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w)
         checksum = run()  # compile + warm up (also proves non-NaN execution)
         assert np.isfinite(checksum), f"non-finite checksum at steps={steps}"
         best = float("inf")
@@ -66,11 +78,30 @@ def bench_single_chip(nx=512, ny=512, nz=50, n1=50, n2=250, repeats=4):
             t0 = time.perf_counter()
             run()
             best = min(best, time.perf_counter() - t0)
-        results[steps] = best
+        times[steps] = best
+    return (times[n2] - times[n1]) / (n2 - n1)
 
-    per_step = (results[n2] - results[n1]) / (n2 - n1)
-    points = nx * ny * nz
-    return points / per_step, per_step
+
+def bench_single_compile(mesh, case, nx, ny, nz, *, steps, repeats=3,
+                         coupled=False, with_w=False):
+    """per-step seconds with ONE loop build (for compile-expensive configs):
+    T(steps)/steps with the measured readback round-trip subtracted."""
+    probe = jnp.zeros((8, 128))
+    float(probe.sum())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(probe.sum())
+    readback = (time.perf_counter() - t0) / 5
+
+    run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w)
+    checksum = run()
+    assert np.isfinite(checksum), "non-finite checksum"
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return max(best - readback, 1e-9) / steps
 
 
 def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:
@@ -88,16 +119,51 @@ def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:
 
 
 def main():
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.parallel.mesh import make_mesh
+
     _wait_healthy()
-    gps, per_step = bench_single_chip()
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+
+    specs = [
+        # (name, nx, ny, nz, coupled, with_w, marginal?)
+        ("mu_t 512x512x50", 512, 512, 50, False, False, True),
+        ("coupled 512x512x50", 512, 512, 50, True, False, True),
+        ("coupled+w 512x512x50", 512, 512, 50, True, True, True),
+        ("coupled CONUS 1500x1500x50", 1500, 1500, 50, True, False, False),
+    ]
+    records = []
+    for name, nx, ny, nz, coupled, with_w, marg in specs:
+        case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+        pts = nx * ny * nz
+        try:
+            if marg:
+                per = bench_marginal(mesh, case, nx, ny, nz, n1=50, n2=250,
+                                     coupled=coupled, with_w=with_w)
+            else:
+                per = bench_single_compile(mesh, case, nx, ny, nz, steps=80,
+                                           coupled=coupled, with_w=with_w)
+            records.append({
+                "config": name,
+                "ms_per_step": round(per * 1e3, 4),
+                "gpts_per_s": round(pts / per),
+                "vs_baseline": round(pts / per / REFERENCE_GPS, 3),
+                "method": "marginal" if marg else "single-compile",
+            })
+        except Exception as e:  # keep earlier records if a config fails
+            records.append({"config": name, "error": f"{type(e).__name__}: {e}"})
+
+    head = records[0]
     print(
         json.dumps(
             {
-                "metric": "advance_mu_t grid-points/s/chip (512x512x50, device-resident loop)",
-                "value": round(gps),
+                "metric": "advance_mu_t grid-points/s/chip "
+                          "(512x512x50, device-resident loop)",
+                "value": head.get("gpts_per_s", 0),
                 "unit": "grid-points/s",
-                "vs_baseline": round(gps / REFERENCE_GPS, 3),
-                "ms_per_step": round(per_step * 1e3, 4),
+                "vs_baseline": head.get("vs_baseline", 0),
+                "ms_per_step": head.get("ms_per_step", 0),
+                "configs": records,
             }
         )
     )

@@ -21,7 +21,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from wrf_tpu.grid import ConfigFlags  # noqa: E402
@@ -58,15 +57,10 @@ def open_bc_case():
 
 
 def outputs_allclose(a: dict, b: dict, rtol=2e-5, atol_scale=1e-6, fields=None):
-    """Assert two output dicts agree within fp32 tolerances.
+    """Assert two output dicts agree within fp32 tolerances — delegates to
+    the framework's shared element-wise acceptance function, so the test
+    suite and the CLI driver gate on the same formula."""
+    from wrf_tpu.compare import assert_outputs_allclose
 
-    ``atol`` is scaled per field to ``atol_scale * max|golden|`` — reduction
-    reassociation produces absolute errors proportional to the *field* scale,
-    which near-zero elements turn into arbitrarily large relative errors."""
-    for name in fields or a.keys():
-        x, y = np.asarray(a[name]), np.asarray(b[name])
-        scale = float(np.abs(y).max()) if y.size else 1.0
-        np.testing.assert_allclose(
-            x, y, rtol=rtol, atol=atol_scale * max(scale, 1.0),
-            err_msg=f"field {name}",
-        )
+    assert_outputs_allclose(a, b, rtol=rtol, atol_scale=atol_scale,
+                            fields=fields)

@@ -41,7 +41,8 @@ def float_ulps(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass(frozen=True)
 class CompareResult:
     """The reference's per-field verification report
-    (advance_mu_t_driver.c:639-650)."""
+    (advance_mu_t_driver.c:639-650), extended with the element-wise
+    acceptance verdict when tolerances were supplied to :func:`compare`."""
 
     name: str
     n: int
@@ -53,21 +54,38 @@ class CompareResult:
     rmse: float
     max_abs_pos: int
     max_rel_pos: int
+    #: element-wise acceptance (set when tolerances were given to compare):
+    #: max over elements of |a-g| / (atol + rtol*|g|); pass iff <= 1
+    max_scaled_err: float | None = None
+    #: number of elements outside the per-element tolerance envelope
+    n_far: int | None = None
 
     @property
     def all_equal(self) -> bool:
         return self.different == 0
 
-    def allclose(self, rtol: float = 1e-5, atol: float = 1e-6) -> bool:
-        """allclose-style acceptance on the recorded maxima."""
-        return self.max_rel_err <= rtol or self.max_abs_err <= atol
+    @property
+    def passed(self) -> bool:
+        """Element-wise acceptance: every element satisfies
+        ``|a-g| <= atol + rtol*|g|`` (the tests' ``assert_allclose``
+        convention — strictly stronger than any gate on the recorded
+        maxima).  Requires tolerances to have been passed to
+        :func:`compare`."""
+        if self.max_scaled_err is None:
+            raise ValueError(
+                f"{self.name}: compare() was called without tolerances; "
+                "pass rtol/atol (or atol_scale) to enable acceptance")
+        return self.max_scaled_err <= 1.0
 
     def __str__(self) -> str:  # mirrors the reference report format
-        return (
+        s = (
             f"{self.name}: equal={self.equal} different={self.different} "
             f"max_rel={self.max_rel_err:.6e} max_abs={self.max_abs_err:.6e} "
             f"max_ulp={self.max_ulp} rmse={self.rmse:.6e}"
         )
+        if self.max_scaled_err is not None:
+            s += f" scaled_err={self.max_scaled_err:.3f} far={self.n_far}"
+        return s
 
 
 def compare(
@@ -76,9 +94,19 @@ def compare(
     name: str = "field",
     *,
     nan_check: bool = True,
+    rtol: float | None = None,
+    atol: float | None = None,
+    atol_scale: float | None = None,
 ) -> CompareResult:
     """Full-array comparison with the reference metric suite
-    (advance_mu_t_driver.c:543-653)."""
+    (advance_mu_t_driver.c:543-653).
+
+    When ``rtol`` is given, also records the ELEMENT-WISE acceptance
+    ``|a-g| <= atol + rtol*|g|`` (``CompareResult.passed``).  ``atol`` is
+    the absolute floor; ``atol_scale`` instead derives it per field as
+    ``atol_scale * max(1, max|golden|)`` — reduction reassociation produces
+    absolute errors proportional to the field scale, which near-zero
+    elements would otherwise turn into unbounded relative errors."""
     actual = np.asarray(actual, dtype=np.float32)
     golden = np.asarray(golden, dtype=np.float32)
     if actual.shape != golden.shape:
@@ -104,6 +132,18 @@ def compare(
     eq = a == g
     n = a.size
     rmse = float(np.sqrt(np.mean(abs_err.astype(np.float64) ** 2))) if n else 0.0
+
+    max_scaled_err = None
+    n_far = None
+    if rtol is not None:
+        if atol is None:
+            scale = float(np.abs(g).max()) if n else 1.0
+            atol = (atol_scale or 0.0) * max(scale, 1.0)
+        tol = atol + rtol * np.abs(g)
+        scaled = abs_err / np.maximum(tol, np.finfo(np.float32).tiny)
+        max_scaled_err = float(scaled.max()) if n else 0.0
+        n_far = int((abs_err > tol).sum())
+
     return CompareResult(
         name=name,
         n=n,
@@ -115,7 +155,22 @@ def compare(
         rmse=rmse,
         max_abs_pos=int(abs_err.argmax()) if n else -1,
         max_rel_pos=int(rel_err.argmax()) if n else -1,
+        max_scaled_err=max_scaled_err,
+        n_far=n_far,
     )
+
+
+def assert_outputs_allclose(actual: dict, golden: dict, *,
+                            rtol: float = 2e-5, atol_scale: float = 1e-6,
+                            fields=None) -> None:
+    """Assert two output dicts agree element-wise within fp32 tolerances —
+    THE shared acceptance function (driver gate and test suite use the same
+    formula: ``|a-g| <= atol_scale*max(1,max|g|) + rtol*|g|``)."""
+    for name in fields or actual.keys():
+        r = compare(actual[name], golden[name], name,
+                    rtol=rtol, atol_scale=atol_scale)
+        if not r.passed:
+            raise AssertionError(f"field {name} outside tolerance: {r}")
 
 
 def compare_window(

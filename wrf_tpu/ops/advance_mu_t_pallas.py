@@ -572,6 +572,13 @@ def advance_mu_t_pallas(
     ``with_tave=False`` no ``t_ave`` is read or returned.
     """
     del kde  # the k-range masks encode the domain top; kept for API parity
+    if fuse_uv and not (isinstance(wind_scale, (int, float))
+                        and wind_scale == 1.0):
+        # both mechanisms model the wind->mass coupling; combining them
+        # would write wscale-multiplied u/v back out and compound the
+        # scale every substep
+        raise ValueError("fuse_uv and wind_scale != 1 are mutually "
+                         "exclusive")
     J, K, I = jnp.shape(t)
     if tj is None:
         tj = _pick_tj(K, I)

@@ -35,8 +35,19 @@ def initialize(**kwargs) -> None:
     tolerated silently so the same entry point runs everywhere."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Benign only in the auto-detected single-process case: double
+        # initialization, or a backend already brought up locally.  With an
+        # explicit cluster config every RuntimeError (coordinator
+        # connection/config failure included) must surface — swallowing it
+        # would silently leave a process-local device view and fail later
+        # in host_local_arrays with an obscure error.
+        if kwargs:
+            raise
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "before any jax calls" not in msg):
+            raise
     except ValueError:
         if kwargs:
             raise  # the caller explicitly configured a cluster: surface it

@@ -94,15 +94,36 @@ def main(argv=None) -> int:
     dom = case_to_domain(case, with_w=args.with_w)
     start_step = 0
     dom = {k: np.array(v, copy=True) for k, v in dom.items()}
-    if args.resume and args.checkpoint_dir:
+    if args.resume and not args.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
+    if args.resume:
         from pathlib import Path
-        cks = sorted(Path(args.checkpoint_dir).glob("step_*"))
+
+        def _step_no(p):
+            try:
+                return int(p.name.removeprefix("step_"))
+            except ValueError:
+                return None  # stray entry, not one of ours
+
+        cks = [(n, p) for p in Path(args.checkpoint_dir).glob("step_*")
+               if (n := _step_no(p)) is not None]
         if cks:
-            state, start_step, _ = checkpoint.load_checkpoint(cks[-1])
-            print(f"resuming from {cks[-1]} (step {start_step})")
+            newest = max(cks)[1]
+            state, start_step, _ = checkpoint.load_checkpoint(newest)
+            print(f"resuming from {newest} (step {start_step})")
+            expected = {n for n in _EVOLVED if n in dom}
+            missing = expected - state.keys()
+            extra = state.keys() - expected
+            if missing or extra:
+                # e.g. resuming a --with-w checkpoint without --with-w (or
+                # vice versa): continuity would silently differ
+                raise SystemExit(
+                    f"checkpoint field set differs from the configured "
+                    f"state (missing from checkpoint: {sorted(missing)}; "
+                    f"not configured: {sorted(extra)}) — rerun with the "
+                    f"matching --with-w setting")
             for name, arr in state.items():
-                if name in dom:
-                    dom[name] = arr
+                dom[name] = arr
 
     b = case.bounds
     nx_d, ny_d = b.ide, b.jde
