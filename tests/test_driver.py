@@ -56,6 +56,44 @@ def test_driver_dump_intermediates(tmp_path, small_case):
     np.testing.assert_allclose(ww_cap, golden["ww"], atol=1e-5)
     assert (dump / "muave_before_theta.bin").exists()
     assert (dump / "muts_before_theta.bin").exists()
+
+
+def test_dump_intermediates_tier_uniform(tmp_path, small_case):
+    """Every capture-capable tier (numpy, native, xla, pallas) produces the
+    same five *_before_theta phase-A snapshots — the bisection workflow the
+    reference enables only in Fortran works across the whole tier matrix.
+    The scalar tiers must agree bit-for-bit; the device tiers within the
+    k-reduction reassociation tolerance."""
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=2)
+    b = small_case.bounds
+    names = ("muave_before_theta", "mu_before_theta", "mudf_before_theta",
+             "muts_before_theta", "ww_before_theta")
+    caps = {}
+    for tier in ("numpy", "native", "xla", "pallas"):
+        dump = tmp_path / f"dump_{tier}"
+        rc = driver.main([str(d), "--tier", tier,
+                          "--dump-intermediates", str(dump)])
+        assert rc == 0, tier
+        caps[tier] = {
+            n: codec.read_field(
+                dump / f"{n}.bin",
+                b.shape3 if n.startswith("ww") else b.shape2,
+                nan_check=False)
+            for n in names
+        }
+    for n in names:
+        np.testing.assert_array_equal(
+            caps["native"][n], caps["numpy"][n], err_msg=f"native {n}")
+        for tier in ("xla", "pallas"):
+            ref = caps["numpy"][n]
+            scale = max(float(np.abs(ref).max()), 1.0)
+            # device tiers zero the never-computed halo edge cells of the
+            # captures; restrict to the interior window
+            sl = ((slice(1, -1), slice(None), slice(1, -1))
+                  if ref.ndim == 3 else (slice(1, -1), slice(1, -1)))
+            np.testing.assert_allclose(
+                caps[tier][n][sl], ref[sl], rtol=1e-4, atol=1e-5 * scale,
+                err_msg=f"{tier} {n}")
     assert (dump / "mudf_before_theta.bin").exists()
 
 

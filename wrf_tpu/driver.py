@@ -128,8 +128,9 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         state = {k: kw[k] for k in ("ww", "mu", "t", "t_ave")}
         out = dict(state)
         t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(**{**kw, **state})
+        for s in range(steps):
+            cap = capture and s == steps - 1  # final substep's phase A
+            out = fn(**{**kw, **state}, capture_intermediates=cap)
             state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
         return out, time.perf_counter() - t0, None
 
@@ -147,7 +148,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
                 return advance_mu_t_pallas(
                     **ins, **sc, window=(i0, i1, j0, j1),
                     k0=k0, k1=k1, kde=b.mem(b.kde, "k"),
-                    interpret=interp,
+                    capture=capture, interpret=interp,
                 )
         else:
             from .ops.advance_mu_t_jnp import advance_mu_t_core, window_masks
@@ -216,7 +217,8 @@ def main(argv=None) -> int:
                         "w/pp substep")
     p.add_argument("--mesh", default=None, help="JxI mesh shape for sharded tiers")
     p.add_argument("--dump-intermediates", default=None, metavar="DIR",
-                   help="write *_before_theta.bin phase-A captures (xla tier)")
+                   help="write *_before_theta.bin phase-A captures of the "
+                        "final substep (numpy, native, xla and pallas tiers)")
     args = p.parse_args(argv)
 
     case, fx_steps = fixtures.read_case(args.fixture_dir)

@@ -70,6 +70,14 @@ def _get_lib() -> ctypes.CDLL:
             + [ctypes.c_float] * 4
             + [fp] * 8
         )
+        _lib.wrf_advance_mu_t_capture.restype = ctypes.c_int32
+        _lib.wrf_advance_mu_t_capture.argtypes = (
+            [ctypes.POINTER(_Window)]
+            + [fp] * 18
+            + [ctypes.c_float] * 4
+            + [fp] * 8
+            + [fp] * 5
+        )
         _lib.wrf_advance_uv.restype = ctypes.c_int32
         _lib.wrf_advance_uv.argtypes = (
             [ctypes.POINTER(_Window)] + [fp] * 7 + [ctypes.c_float] * 4
@@ -129,10 +137,13 @@ def advance_mu_t_native(
     msfty: np.ndarray,
     flags: ConfigFlags,
     bounds: GridBounds,
+    capture_intermediates: bool = False,
 ) -> dict[str, np.ndarray]:
     """Run the native scalar kernel; same contract as
     :func:`wrf_tpu.ops.reference_numpy.advance_mu_t_numpy` (functional —
-    inputs are not mutated)."""
+    inputs are not mutated).  With ``capture_intermediates`` the result
+    additionally carries the five ``*_before_theta`` phase-boundary
+    snapshots (reference: module_small_step_em.f90:175-189)."""
     lib = _get_lib()
     i0, i1, j0, j1, k0, k1 = bounds.loop_bounds(flags)
     w = _Window(
@@ -159,7 +170,7 @@ def advance_mu_t_native(
         ).items()
     }
 
-    rc = lib.wrf_advance_mu_t(
+    args = (
         ctypes.byref(w),
         _fp(ww_o), _fp(ins["ww_1"]), _fp(ins["u"]), _fp(ins["u_1"]),
         _fp(ins["v"]), _fp(ins["v_1"]),
@@ -173,11 +184,24 @@ def advance_mu_t_native(
         _fp(ins["msfuy"]), _fp(ins["msfvx_inv"]),
         _fp(ins["msftx"]), _fp(ins["msfty"]),
     )
+    if capture_intermediates:
+        caps = {name: np.zeros_like(mu_o) for name in
+                ("muave_before_theta", "mu_before_theta",
+                 "mudf_before_theta", "muts_before_theta")}
+        caps["ww_before_theta"] = np.zeros_like(ww_o)
+        rc = lib.wrf_advance_mu_t_capture(
+            *args, *(_fp(caps[n]) for n in
+                     ("muave_before_theta", "mu_before_theta",
+                      "mudf_before_theta", "muts_before_theta",
+                      "ww_before_theta")))
+    else:
+        caps = {}
+        rc = lib.wrf_advance_mu_t(*args)
     if rc != 0:
         raise RuntimeError(f"wrf_advance_mu_t failed with rc={rc}")
     return {
         "ww": ww_o, "mu": mu_o, "muave": muave_o, "muts": muts_o,
-        "mudf": mudf_o, "t": t_o, "t_ave": t_ave_o,
+        "mudf": mudf_o, "t": t_o, "t_ave": t_ave_o, **caps,
     }
 
 

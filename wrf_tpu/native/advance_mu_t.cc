@@ -10,6 +10,7 @@
 #include "wrf_tpu_native.h"
 
 #include <cstdlib>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -21,7 +22,7 @@ inline int64_t at2(const wrf_window* w, int64_t i, int64_t j) {
 }
 }  // namespace
 
-extern "C" int32_t wrf_advance_mu_t(
+extern "C" int32_t wrf_advance_mu_t_capture(
     const wrf_window* w,
     float* ww, const float* ww_1,
     const float* u, const float* u_1,
@@ -33,7 +34,9 @@ extern "C" int32_t wrf_advance_mu_t(
     float rdx, float rdy, float dts, float epssm,
     const float* dnw, const float* fnm, const float* fnp, const float* rdnw,
     const float* msfuy, const float* msfvx_inv,
-    const float* msftx, const float* msfty) {
+    const float* msftx, const float* msfty,
+    float* cap_muave, float* cap_mu, float* cap_mudf, float* cap_muts,
+    float* cap_ww) {
   const int i0 = w->i0, i1 = w->i1, j0 = w->j0, j1 = w->j1;
   const int k0 = w->k0, k1 = w->k1;
   const int64_t idim = w->idim;
@@ -103,6 +106,19 @@ extern "C" int32_t wrf_advance_mu_t(
     }
   }
 
+  // Debug capture at the phase boundary — the analog of the reference's
+  // mid-kernel "*_before_theta.bin" dumps (module_small_step_em.f90:175-189).
+  // Full-array snapshots into caller-provided buffers (all-or-none).
+  if (cap_muave && cap_mu && cap_mudf && cap_muts && cap_ww) {
+    const size_t n2 = static_cast<size_t>(w->jdim) * w->idim;
+    const size_t n3 = n2 * w->kdim;
+    std::memcpy(cap_muave, muave, n2 * sizeof(float));
+    std::memcpy(cap_mu, mu, n2 * sizeof(float));
+    std::memcpy(cap_mudf, mudf, n2 * sizeof(float));
+    std::memcpy(cap_muts, muts, n2 * sizeof(float));
+    std::memcpy(cap_ww, ww, n3 * sizeof(float));
+  }
+
   // ---- Phase B: perturbation theta -------------------------------------
   for (int j = j0; j <= j1; ++j) {
     for (int k = k0; k <= k1; ++k) {
@@ -154,4 +170,25 @@ extern "C" int32_t wrf_advance_mu_t(
     }
   }
   return 0;
+}
+
+// Plain entry point (no capture) — the ABI the drivers use.
+extern "C" int32_t wrf_advance_mu_t(
+    const wrf_window* w,
+    float* ww, const float* ww_1,
+    const float* u, const float* u_1,
+    const float* v, const float* v_1,
+    float* mu, const float* mut, float* muave, float* muts,
+    const float* muu, const float* muv,
+    float* mudf, float* t, const float* t_1,
+    float* t_ave, const float* ft, const float* mu_tend,
+    float rdx, float rdy, float dts, float epssm,
+    const float* dnw, const float* fnm, const float* fnp, const float* rdnw,
+    const float* msfuy, const float* msfvx_inv,
+    const float* msftx, const float* msfty) {
+  return wrf_advance_mu_t_capture(
+      w, ww, ww_1, u, u_1, v, v_1, mu, mut, muave, muts, muu, muv, mudf, t,
+      t_1, t_ave, ft, mu_tend, rdx, rdy, dts, epssm, dnw, fnm, fnp, rdnw,
+      msfuy, msfvx_inv, msftx, msfty, nullptr, nullptr, nullptr, nullptr,
+      nullptr);
 }

@@ -47,6 +47,27 @@ int32_t wrf_advance_mu_t(
     const float* msfuy, const float* msfvx_inv,
     const float* msftx, const float* msfty);
 
+// advance_mu_t with phase-boundary debug capture: when all five cap_*
+// buffers are non-null, the phase-A outputs (muave/mu/mudf/muts 2-D,
+// ww 3-D) are snapshotted into them BETWEEN phase A and phase B — the
+// framework analog of the reference's "*_before_theta.bin" mid-kernel
+// dumps (module_small_step_em.f90:175-189).
+int32_t wrf_advance_mu_t_capture(
+    const wrf_window* w,
+    float* ww, const float* ww_1,
+    const float* u, const float* u_1,
+    const float* v, const float* v_1,
+    float* mu, const float* mut, float* muave, float* muts,
+    const float* muu, const float* muv,
+    float* mudf, float* t, const float* t_1,
+    float* t_ave, const float* ft, const float* mu_tend,
+    float rdx, float rdy, float dts, float epssm,
+    const float* dnw, const float* fnm, const float* fnp, const float* rdnw,
+    const float* msfuy, const float* msfvx_inv,
+    const float* msftx, const float* msfty,
+    float* cap_muave, float* cap_mu, float* cap_mudf, float* cap_muts,
+    float* cap_ww);
+
 // Linearized-acoustic wind substep (advance_uv): u/v updated in place from
 // the horizontal gradient of cs2*mu over the edge-point windows interior to
 // the mass window (see wrf_tpu/ops/advance_uv.py for the scheme).

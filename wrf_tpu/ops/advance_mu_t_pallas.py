@@ -94,7 +94,8 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             fuse_w: bool, use_damp: bool, has_wscale: bool,
-            ww_mode: str = "full", lean: bool = False, ablate: str = ""):
+            ww_mode: str = "full", lean: bool = False, capture: bool = False,
+            ablate: str = ""):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
     scal_ref = next(it)   # (1, 9) f32: rdx..cs2, c_w, g_t, dampc
@@ -161,6 +162,9 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if fuse_w:
         w_out, pp_out = next(it), next(it)
     wwrow_out = next(it) if ww_mode == "lite" else None
+    if capture:  # phase-boundary debug snapshots (fresh, unaliased buffers)
+        (capmuave_out, capmu_out, capmudf_out, capmuts_out,
+         capww_out) = next(it), next(it), next(it), next(it), next(it)
     # --- scratch -----------------------------------------------------------
     scan_ref = next(it)   # (TJ, K, I) VMEM: in-place ww vertical scan
     if fuse_w:
@@ -271,13 +275,17 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # ---- mu update with epsilon off-centering -------------------------
     tend = dmdt + mutend_ref[:]
     mu_new = mu + dts * tend
-    mu_out[:] = jnp.where(mask, mu_new, mu)
-    mudf_out[:] = jnp.where(mask, tend, F(0.0))
-    muts_out[:] = jnp.where(mask, mut_ref[:] + mu_new, F(0.0))
-    muave_out[:] = jnp.where(
+    mu_val = jnp.where(mask, mu_new, mu)
+    mudf_val = jnp.where(mask, tend, F(0.0))
+    muts_val = jnp.where(mask, mut_ref[:] + mu_new, F(0.0))
+    muave_val = jnp.where(
         mask, F(0.5) * ((F(1.0) + epssm) * mu_new + (F(1.0) - epssm) * mu),
         F(0.0),
     )
+    mu_out[:] = mu_val
+    mudf_out[:] = mudf_val
+    muts_out[:] = muts_val
+    muave_out[:] = muave_val
 
     # ---- ww vertical scan (chip-local, k-ascending like the oracle) ---
     # ww(k) = ww(k-1) - dnw(k-1)*(dmdt + dvdxi(k-1) + mu_tend)/msfty,
@@ -314,6 +322,17 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1_ref[:],
                            ww_ref[:])
         ww_out[:] = ww_new
+
+    # ---- phase-boundary debug capture (*_before_theta analog,
+    # module_small_step_em.f90:175-189): written to FRESH unaliased output
+    # buffers before any phase-B work, so aliasing/pipeline corruption of
+    # the phase-A outputs would show up as capture-vs-output drift
+    if capture:
+        capmuave_out[:] = muave_val
+        capmu_out[:] = mu_val
+        capmudf_out[:] = mudf_val
+        capmuts_out[:] = muts_val
+        capww_out[:] = ww_new
 
     # ---- Phase B: theta ------------------------------------------------
     t = t_ref[:]
@@ -556,6 +575,7 @@ def advance_mu_t_pallas(
     tconst=None, dvdxi_const=None, ww1_k0=None,  # lean-mode precomputed consts
     tj: int | None = None,
     vmem_limit: int | None = None,  # raised scoped-VMEM limit (shard_map only)
+    capture: bool = False,          # phase-A *_before_theta debug outputs
     interpret: bool = False,
 ):
     """Fused small step; same contract as ``advance_mu_t_core``.
@@ -581,13 +601,18 @@ def advance_mu_t_pallas(
                          "exclusive")
     J, K, I = jnp.shape(t)
     if tj is None:
-        tj = _pick_tj(K, I)
+        # capture adds one full 3-D output stream + 4 thin ones
+        tj = _pick_tj(K, I, streams=46 if capture else 44)
     padj = (-(J - 2)) % tj
 
     if with_tave and t_ave is None:
         raise ValueError("t_ave is required when with_tave=True")
     if ww_mode not in ("full", "lite", "final"):
         raise ValueError(f"bad ww_mode {ww_mode!r}")
+    if capture and (ww_mode != "full" or lean):
+        raise ValueError("capture requires the plain full-ww path "
+                         "(debug captures and the scan-mode stream "
+                         "optimizations are mutually exclusive)")
     if ww_mode != "full" and ww_row is None:
         raise ValueError("ww_row is required in lite/final ww_mode")
     if ww_mode != "lite" and ww is None:
@@ -757,6 +782,11 @@ def advance_mu_t_pallas(
         out_names += ["w", "pp"]; out_specs += [c3, c3]; out_shape += [big] * 2
     if ww_mode == "lite":
         out_names += ["ww_row"]; out_specs += [c2]; out_shape += [thin]
+    if capture:
+        out_names += ["muave_before_theta", "mu_before_theta",
+                      "mudf_before_theta", "muts_before_theta"]
+        out_specs += [c2] * 4; out_shape += [thin] * 4
+        out_names += ["ww_before_theta"]; out_specs += [c3]; out_shape += [big]
     oidx = {n: i for i, n in enumerate(out_names)}
 
     # input operand index by position in the assembled list
@@ -795,7 +825,7 @@ def advance_mu_t_pallas(
                                fuse_uv=fuse_uv, with_tave=with_tave,
                                fuse_w=fuse_w, use_damp=use_damp,
                                has_wscale=has_wscale, ww_mode=ww_mode,
-                               lean=lean,
+                               lean=lean, capture=capture,
                                ablate=os.environ.get("WRF_TPU_ABLATE", ""))
     outs = pl.pallas_call(
         kernel,
@@ -839,4 +869,13 @@ def advance_mu_t_pallas(
     if fuse_w:
         res["w"] = out["w"][:J]
         res["pp"] = out["pp"][:J]
+    if capture:
+        # debug outputs: never-computed edge rows zeroed (deterministic)
+        zero3 = jnp.zeros((1, K, I), F)
+        for n in ("muave_before_theta", "mu_before_theta",
+                  "mudf_before_theta", "muts_before_theta"):
+            res[n] = edges2z(out[n])
+        bt = out["ww_before_theta"]
+        res["ww_before_theta"] = jnp.concatenate(
+            [zero3, bt[1 : J - 1], zero3], axis=0)
     return res

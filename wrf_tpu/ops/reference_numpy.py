@@ -59,6 +59,7 @@ def advance_mu_t_numpy(
     msfty: np.ndarray,
     flags: ConfigFlags,
     bounds: GridBounds,
+    capture_intermediates: bool = False,
 ) -> dict[str, np.ndarray]:
     """Advance the perturbation theta and mass-conservation equations one
     acoustic small step; update the small-timestep omega (ww).
@@ -138,6 +139,21 @@ def advance_mu_t_numpy(
     for k in range(k0, k1 + 1):
         ww[js, k, isl] = ww[js, k, isl] - ww_1[js, k, isl]
 
+    # Debug capture at the phase boundary — the analog of the reference's
+    # mid-kernel "*_before_theta.bin" dumps (module_small_step_em.f90:175-189)
+    # for phase-by-phase bisection of numerical divergence.  Copies taken
+    # HERE (not aliases of the outputs) so any phase-B scribble over a
+    # phase-A buffer would be visible as capture-vs-output drift.
+    captured = {}
+    if capture_intermediates:
+        captured = {
+            "muave_before_theta": muave.copy(),
+            "mu_before_theta": mu.copy(),
+            "mudf_before_theta": mudf.copy(),
+            "muts_before_theta": muts.copy(),
+            "ww_before_theta": ww.copy(),
+        }
+
     # ------------------------------------------------------------------ #
     # Phase B — perturbation theta
     # (module_small_step_em.f90:208-250)
@@ -183,4 +199,5 @@ def advance_mu_t_numpy(
         "mudf": mudf,
         "t": t,
         "t_ave": t_ave,
+        **captured,
     }
