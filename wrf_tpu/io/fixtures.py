@@ -124,6 +124,7 @@ def make_case(
     seed: int = 2026,
     amplitude: float = 1.0,
     flags: ConfigFlags | None = None,
+    balanced: bool = False,
 ) -> Case:
     """Mint a physically plausible advance_mu_t input set.
 
@@ -134,10 +135,16 @@ def make_case(
 
     ``amplitude`` scales the dynamic perturbations (winds, theta, omega).
     The default noise-like fields have no physical balance and are meant
-    for differential verification over bounded substep counts; multi-
-    LARGE-step integrations (run_sim) need ``amplitude`` ~ 1e-2 (or real
-    balanced data) to stay stable — the golden path diverges identically
-    otherwise.
+    for differential verification over bounded substep counts.
+
+    ``balanced`` replaces the base-state winds (``grid_u_save`` /
+    ``grid_v_save``) with streamfunction-derived fields whose COUPLED mass
+    flux (``muu*u_1/msfuy``, ``muv*v_1*msfvx_inv``) is discretely
+    non-divergent, so the base state forces no mass drift.  Long-horizon
+    integrations (run_sim) use ``balanced=True`` + ``amplitude`` ~ 1e-2
+    together with the nudging closure and base-state snapshot mode
+    (models/tendencies.py); the degenerate stage-snapshot shell diverges
+    regardless (see models/rk3.py).
     """
     flags = flags or ConfigFlags(specified=True)
     b = GridBounds.for_domain(nx, ny, nz, halo=halo)
@@ -194,6 +201,39 @@ def make_case(
     }
     from ..ops.advance_w import rdn_from_dnw
     fields["grid_rdn"] = rdn_from_dnw(dnw)
+
+    if balanced:
+        # Base winds from a streamfunction on cell corners: with
+        # U = rdx*d_j(psi), V = -rdy*d_i(psi) as the COUPLED fluxes, the
+        # discrete divergence rdx*d_i(U) + rdy*d_j(V) telescopes to zero
+        # exactly (mixed differences commute), cell by cell.  Uncoupling
+        # through the mass/map-factor fields puts them in the *_1 slots
+        # the flux formula (module_small_step_em.f90:142-146) recouples.
+        rdx, rdy = 1.0 / 12000.0, 1.0 / 12000.0
+        jdim, kdim2, idim = s3
+        jj = np.linspace(0.0, 1.0, jdim + 1)[:, None, None]
+        kk = np.linspace(0.0, 1.0, kdim2)[None, :, None]
+        ii = np.linspace(0.0, 1.0, idim + 1)[None, None, :]
+        psi = np.zeros((jdim + 1, kdim2, idim + 1))
+        for _ in range(3):
+            aj, ak, ai = rng.uniform(0.5, 2.5, size=3)
+            pj, pk, pi = rng.uniform(0, 2 * np.pi, size=3)
+            psi += np.sin(2 * np.pi * aj * jj + pj) * \
+                   np.cos(2 * np.pi * ak * kk + pk) * \
+                   np.sin(2 * np.pi * ai * ii + pi)
+        psi *= 1e4 / (3 * max(rdx, rdy))  # coupled-flux scale ~ mut * u_phys
+        # discrete curl: U = rdy*d_j(psi), V = -rdx*d_i(psi) — then
+        # rdx*d_i(U) + rdy*d_j(V) = rdx*rdy*(d_i d_j - d_j d_i)(psi) = 0
+        # term-by-term (the same four corner values cancel exactly)
+        cflux_u = (psi[1:, :, :idim] - psi[:jdim, :, :idim]) * rdy
+        cflux_v = -(psi[:jdim, :, 1:] - psi[:jdim, :, :idim]) * rdx
+        fields["grid_u_save"] = (
+            cflux_u * fields["grid_msfuy"][:, None, :]
+            / fields["grid_muu"][:, None, :]).astype(F)
+        fields["grid_v_save"] = (
+            cflux_v / (fields["grid_muv"][:, None, :]
+                       * fields["grid_msfvx_inv"][:, None, :])).astype(F)
+
     return Case(
         bounds=b, flags=flags,
         rdx=1.0 / 12000.0, rdy=1.0 / 12000.0, dts=12.0 / 6.0, epssm=0.1,

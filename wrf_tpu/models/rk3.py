@@ -16,12 +16,22 @@ real tendencies are out of scope for the sample's capability set.
 
 The default hook keeps the supplied (fixture) tendencies, which makes stages
 1 and 2 provisional-state evaluations that feed nothing — exactly the
-degenerate case; supply a hook to close the loop.  NOTE: the degenerate
-shell is linearly unstable over MANY large steps (the acoustic coupling
-compounds with re-snapshotted *_1 fields and no tendency feedback; the
-golden path diverges identically, amplitude-independently) — bounded
-large-step horizons verify the integration structure, and long
-integrations need a real ``tendency_fn``.
+degenerate case; supply a hook to close the loop.
+
+Two snapshot modes govern the ``*_1`` advecting fields:
+
+* ``snapshot="stage"`` (the degenerate shell): ``u_1 := u`` etc. at every
+  stage start.  UNSTABLE over many large steps — the ``*_1`` slots expect
+  UNCOUPLED winds (m/s) but receive the mass-coupled state (~5e4x
+  larger), so the mass flux ``u + muu*u_1/msfuy`` amplifies ~5e4x per
+  step regardless of amplitude.  Kept for bounded-horizon verification of
+  the integration structure (it is what a naive closure would do).
+* ``snapshot="base"`` (the consistent minimal closure): the ``*_1``
+  fields stay at the prepared base state; the acoustic dynamics are then
+  linear with constant coefficients and STABLE.  Combined with the
+  nudging tendency closure (models/tendencies.py) and a balanced fixture
+  this sustains unbounded large-step horizons — measured 100/100 steps
+  with total-mass drift < ~1e-6 (see tendencies.py).
 """
 
 from __future__ import annotations
@@ -55,8 +65,11 @@ class RK3Integrator:
     def __init__(self, mesh, nx, ny, nz, flags: ConfigFlags,
                  acoustic_steps: int = 6, kernel: str = "pallas",
                  cs2: float = DEFAULT_CS2, with_w: bool = False,
-                 smdiv: float = 0.0,
+                 smdiv: float = 0.0, snapshot: str = "stage",
                  interpret: bool | None = None):
+        if snapshot not in ("stage", "base"):
+            raise ValueError(f"bad snapshot mode {snapshot!r}")
+        self.snapshot = snapshot
         self.stages = rk3_stages(acoustic_steps)
         self.loops = [
             SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
@@ -78,8 +91,10 @@ class RK3Integrator:
         out = None
         for stage, ((frac, n_sub), loop) in enumerate(zip(self.stages, self.loops)):
             stage_arrays = dict(arrays)  # restart from step-start state
-            for snap, src in _STAGE_SNAPSHOT.items():
-                stage_arrays[snap] = arrays[src]
+            if self.snapshot == "stage":
+                for snap, src in _STAGE_SNAPSHOT.items():
+                    stage_arrays[snap] = arrays[src]
+            # "base": the *_1 advecting fields keep their prepared values
             if tendency_fn is not None:
                 stage_arrays.update(tendency_fn(stage, out, stage_arrays))
             dts = (frac * dt) / n_sub
@@ -89,7 +104,7 @@ class RK3Integrator:
 
 def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
                cs2: float = DEFAULT_CS2, with_w: bool = False,
-               smdiv: float = 0.0):
+               smdiv: float = 0.0, snapshot: str = "stage"):
     """Golden-path RK3 step on memory-window arrays (single tile)."""
     import dataclasses
     dt = dt if dt is not None else case.dts * acoustic_steps
@@ -102,17 +117,19 @@ def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
     out = None
     for (frac, n_sub) in rk3_stages(acoustic_steps):
         stage_fields = dict(fields)
-        # restart from step-start state; snapshot the *_1 large-step fields
+        # restart from step-start state
         stage_fields["grid_u_2"] = start["u"]
         stage_fields["grid_v_2"] = start["v"]
         stage_fields["grid_t_2"] = start["t"]
         stage_fields["grid_ww"] = start["ww"]
         stage_fields["grid_mu_2"] = start["mu"]
         stage_fields["t_2save"] = start["t_ave"]
-        stage_fields["grid_u_save"] = start["u"]
-        stage_fields["grid_v_save"] = start["v"]
-        stage_fields["grid_t_save"] = start["t"]
-        stage_fields["ww1"] = start["ww"]
+        if snapshot == "stage":  # degenerate: *_1 := coupled state
+            stage_fields["grid_u_save"] = start["u"]
+            stage_fields["grid_v_save"] = start["v"]
+            stage_fields["grid_t_save"] = start["t"]
+            stage_fields["ww1"] = start["ww"]
+        # "base": the *_1 advecting fields keep the fixture base state
         if with_w:
             stage_fields["grid_w"] = start["w"]
             stage_fields["grid_pp"] = start["pp"]
@@ -121,4 +138,44 @@ def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
         )
         out = small_step_golden(stage_case, n_sub, cs2=cs2, with_w=with_w,
                                 smdiv=smdiv)
+    return out
+
+
+def rk3_golden_run(case, n_large_steps: int, acoustic_steps: int = 6,
+                   dt: float | None = None, cs2: float = DEFAULT_CS2,
+                   with_w: bool = False, smdiv: float = 0.0,
+                   snapshot: str = "base", tendency_fn=None,
+                   rayleigh_uv: float = 0.0, diag_cb=None):
+    """Multi-large-step golden integration with the closed-loop slow
+    forcing — the FP-order-exact anchor for ``run_sim``'s long-horizon
+    mode.  ``tendency_fn(fields) -> {"t_tend": ..., "mu_tend": ...}`` is
+    recomputed once per large step (see
+    :func:`wrf_tpu.models.tendencies.golden_nudging_fn`);
+    ``rayleigh_uv`` damps the perturbation winds by ``1-r`` per step.
+    ``diag_cb(step, out)``, if given, observes every step's outputs.
+    Returns the final step's output dict.
+    """
+    import dataclasses
+    dt = dt if dt is not None else case.dts * acoustic_steps
+    fields = dict(case.fields)
+    fold = (("u", "grid_u_2"), ("v", "grid_v_2"), ("t", "grid_t_2"),
+            ("ww", "grid_ww"), ("mu", "grid_mu_2"), ("t_ave", "t_2save"))
+    if with_w:
+        fold += (("w", "grid_w"), ("pp", "grid_pp"))
+    out = None
+    for step in range(n_large_steps):
+        if tendency_fn is not None:
+            fields.update(tendency_fn(fields))
+        out = rk3_golden(
+            dataclasses.replace(case, fields=fields),
+            acoustic_steps=acoustic_steps, dt=dt, cs2=cs2, with_w=with_w,
+            smdiv=smdiv, snapshot=snapshot)
+        for key, name in fold:
+            fields[name] = out[key]
+        if rayleigh_uv:
+            d = np.float32(1.0 - rayleigh_uv)
+            fields["grid_u_2"] = fields["grid_u_2"] * d
+            fields["grid_v_2"] = fields["grid_v_2"] * d
+        if diag_cb is not None:
+            diag_cb(step, out)
     return out

@@ -50,6 +50,18 @@ def main(argv=None) -> int:
     p.add_argument("--with-w", action="store_true",
                    help="include the vertically-implicit w/pp substep")
     p.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--closure", default="none", choices=["none", "nudge"],
+                   help="slow-forcing closure: 'nudge' holds the *_1 "
+                        "advecting fields at the base state and recomputes "
+                        "ft/mu_tend as nudging tendencies every large step "
+                        "(models/tendencies.py) — required for long "
+                        "horizons; 'none' is the degenerate shell "
+                        "(bounded horizons only)")
+    p.add_argument("--tau-steps", type=float, default=5.0,
+                   help="nudging relaxation time in large steps (>=3)")
+    p.add_argument("--rayleigh-uv", type=float, default=0.1,
+                   help="per-step Rayleigh damping factor on the "
+                        "perturbation winds (closure=nudge)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--resume", action="store_true",
@@ -89,7 +101,9 @@ def main(argv=None) -> int:
     rk3 = RK3Integrator(mesh, nx, ny, nz, flags,
                         acoustic_steps=dyn["acoustic_steps"],
                         kernel=args.kernel, with_w=args.with_w,
-                        smdiv=dyn["smdiv"])
+                        smdiv=dyn["smdiv"],
+                        snapshot="base" if args.closure == "nudge"
+                        else "stage")
 
     dom = case_to_domain(case, with_w=args.with_w)
     start_step = 0
@@ -136,8 +150,16 @@ def main(argv=None) -> int:
     arrays = rk3.prepare(dom)
     import jax.numpy as jnp
 
+    tendency_fn = None
+    if args.closure == "nudge":
+        from .models.tendencies import NudgingTendencies
+        tendency_fn = NudgingTendencies(arrays, dt,
+                                        tau_steps=args.tau_steps,
+                                        rayleigh_uv=args.rayleigh_uv)
+
     def advance(arrays):
-        out = rk3.step(arrays, dyn["rdx"], dyn["rdy"], dt, dyn["epssm"])
+        out = rk3.step(arrays, dyn["rdx"], dyn["rdy"], dt, dyn["epssm"],
+                       tendency_fn=tendency_fn)
         for name in _EVOLVED:
             if name in out and name in arrays:
                 val = out[name]
@@ -147,6 +169,8 @@ def main(argv=None) -> int:
                 else:
                     arrays[name] = arrays[name].at[
                         1 : 1 + ny_d, 1 : 1 + nx_d].set(val)
+        if tendency_fn is not None:
+            tendency_fn.damp_winds(arrays)
         return arrays, out
 
     def snapshot(arrays):
@@ -174,27 +198,30 @@ def main(argv=None) -> int:
             if not np.isfinite(checksum):
                 raise SystemExit(
                     f"non-finite state at step {step + 1} (NaN tripwire). "
-                    "The degenerate RK3 shell (frozen slow tendencies; "
-                    "see models/rk3.py) is linearly unstable over many "
-                    "large steps — the golden path diverges at the same "
-                    "step.  Supply a tendency_fn that recomputes the slow "
-                    "forcing (the WRF physics/advection packages the "
-                    "reference's capability set excludes), or integrate "
-                    "within a bounded large-step horizon.")
+                    "The degenerate RK3 shell (--closure none) is unstable "
+                    "over many large steps — the golden path diverges at "
+                    "the same step (see models/rk3.py).  Re-run with "
+                    "--closure nudge (base-state snapshot + nudging "
+                    "tendencies, models/tendencies.py) for long horizons, "
+                    "or integrate within a bounded large-step horizon.")
             per_sub = dt_s / sum(n for _, n in rk3.stages)
             note = " (incl. compile)" if step == start_step else ""
             print(f"step {step + 1}: {dt_s * 1e3:.1f} ms "
                   f"({per_sub * 1e3:.2f} ms/substep, "
                   f"{n_pts / per_sub:.3e} grid-points/s){note}", flush=True)
             if args.diagnostics:
-                mass = float(jnp.sum(out["mu"], dtype=jnp.float64)
-                             if jax.config.jax_enable_x64
-                             else jnp.sum(out["mu"]))
+                # total dry mass (mut + mu = muts summed over the domain):
+                # advance_mu_t IS the mass-conservation update, so relative
+                # drift beyond boundary fluxes indicates trouble
+                mass = float(np.sum(np.asarray(out["muts"]),
+                                    dtype=np.float64))
+                pert = float(np.sum(np.asarray(out["mu"]),
+                                    dtype=np.float64))
                 if mass0 is None:
                     mass0 = mass if mass else 1.0
-                print(f"  total column-mass perturbation {mass:.6e} "
-                      f"(drift {(mass - mass0) / abs(mass0):+.2e})",
-                      flush=True)
+                print(f"  total dry mass {mass:.10e} "
+                      f"(drift {(mass - mass0) / abs(mass0):+.3e}), "
+                      f"mass perturbation sum {pert:+.6e}", flush=True)
             if args.checkpoint_dir and (step + 1) % args.checkpoint_every == 0:
                 d = checkpoint.save_checkpoint(
                     f"{args.checkpoint_dir}/step_{step + 1:06d}",
