@@ -154,3 +154,42 @@ def test_remote_dma_halo_matches_ppermute(small_case):
         return np.asarray(jax.jit(f)(jnp.asarray(x)))
 
     np.testing.assert_array_equal(run("rdma"), run("ppermute"))
+
+
+def test_remote_dma_halo_inside_scan(small_case):
+    """The RDMA exchange composed the way the production loop uses it —
+    inside a ``lax.scan`` carry under ``shard_map`` — matches the ppermute
+    form iteration for iteration (the in-loop halo_backend="rdma" path;
+    compiled-mode equivalence runs on hardware via tools/chip_checks.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from wrf_tpu.parallel import halo
+
+    mesh = jax.make_mesh((8,), ("j",), devices=jax.devices()[:8])
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((8 * 4, 3, 16)).astype(np.float32)
+
+    def run(backend):
+        def local(blk):
+            blkp = halo.pad_axis(blk, 0)
+
+            def body(state, _):
+                if backend == "ppermute":
+                    state = halo.refresh_axis(state, 0, "j")
+                else:
+                    state = halo.remote_refresh_axis(state, "j",
+                                                     interpret=True)
+                # interior update reading the fresh halo rows (a stencil)
+                upd = state[:-2] + state[2:]
+                state = state.at[1:-1].set(0.5 * upd)
+                return state, None
+
+            state, _ = jax.lax.scan(body, blkp, length=3)
+            return state
+        f = jax.shard_map(local, mesh=mesh, in_specs=P("j", None, None),
+                          out_specs=P("j", None, None), check_vma=False)
+        return np.asarray(jax.jit(f)(jnp.asarray(x)))
+
+    np.testing.assert_array_equal(run("rdma"), run("ppermute"))

@@ -1,0 +1,96 @@
+"""On-hardware validation battery for paths the CPU test suite cannot reach.
+
+The pytest suite runs on a virtual CPU mesh where the Pallas interpreter
+cannot discharge remote DMAs on multi-axis meshes; this tool executes the
+corresponding COMPILED paths on the real chip:
+
+  1. standalone RDMA halo refresh (direct ANY-space path, 128-aligned
+     lanes; staged path, unaligned lanes) on 1-axis and 2-axis meshes;
+  2. the full coupled loop with halo_backend="rdma" vs "ppermute",
+     force_exchange=True so the (1,1) mesh executes the exact in-scan
+     exchange code of a multi-chip run (self-ring) — outputs must be
+     BIT-equal between backends.
+
+Usage: python tools/chip_checks.py  (prints one OK/FAIL line per check)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from wrf_tpu.io import fixtures
+from wrf_tpu.models.small_step import SmallStepLoop
+from wrf_tpu.parallel.halo import remote_refresh_axis
+from wrf_tpu.parallel.mesh import make_mesh
+from wrf_tpu.parallel.sharded import case_to_domain
+
+FAILURES = 0
+
+
+def check(name, fn):
+    global FAILURES
+    try:
+        fn()
+        print(f"OK   {name}", flush=True)
+    except Exception as e:
+        FAILURES += 1
+        print(f"FAIL {name}: {str(e)[:200]}", flush=True)
+
+
+def refresh_case(mesh, spec, J, K, I):
+    x = jnp.arange(J * K * I, dtype=jnp.float32).reshape(J, K, I)
+    y = jax.jit(jax.shard_map(lambda x: remote_refresh_axis(x, "j"),
+                              mesh=mesh, in_specs=spec, out_specs=spec,
+                              check_vma=False))(x)
+    ref = np.asarray(x).copy()
+    ref[0] = ref[J - 2]      # self-ring: lo halo <- own last interior row
+    ref[J - 1] = ref[1]      # hi halo <- own first interior row
+    np.testing.assert_array_equal(np.asarray(y), ref)
+
+
+def loop_backend_equal(nx, ny, nz, steps=4, with_w=False, smdiv=0.0):
+    case = fixtures.make_case(nx, ny, nz, halo=2, seed=3)
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+    outs = {}
+    for backend in ("ppermute", "rdma"):
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             halo_backend=backend, force_exchange=True,
+                             with_w=with_w, smdiv=smdiv)
+        arrays = loop.prepare(case_to_domain(case, with_w=with_w))
+        out = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        outs[backend] = {k: np.asarray(v) for k, v in out.items()}
+    for k in outs["ppermute"]:
+        np.testing.assert_array_equal(outs["rdma"][k], outs["ppermute"][k],
+                                      err_msg=k)
+
+
+def main():
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1), ("j",))
+    mesh2 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("j", "i"))
+
+    check("rdma refresh, 1-axis mesh, aligned lanes (6,50,512)",
+          lambda: refresh_case(mesh1, P("j"), 6, 50, 512))
+    check("rdma refresh, 1-axis mesh, staged unaligned lanes (6,50,514)",
+          lambda: refresh_case(mesh1, P("j"), 6, 50, 514))
+    check("rdma refresh, 2-axis mesh coords, aligned (6,16,128)",
+          lambda: refresh_case(mesh2, P("j", None, "i"), 6, 16, 128))
+    check("rdma refresh, 2-axis mesh coords, staged (6,16,66)",
+          lambda: refresh_case(mesh2, P("j", None, "i"), 6, 16, 66))
+    check("coupled loop rdma==ppermute, staged lanes (64x48x16, 4 substeps)",
+          lambda: loop_backend_equal(64, 48, 16))
+    check("coupled loop rdma==ppermute, aligned lanes (126x48x16)",
+          lambda: loop_backend_equal(126, 48, 16))
+    check("coupled loop rdma==ppermute, +w +smdiv (64x48x16)",
+          lambda: loop_backend_equal(64, 48, 16, with_w=True, smdiv=0.1))
+    print("FAILURES:", FAILURES)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,8 +112,24 @@ class SmallStepLoop:
                  kernel: str = "pallas", cs2: float = DEFAULT_CS2,
                  with_w: bool = False,
                  cw: float = DEFAULT_CW, gw: float = DEFAULT_GW,
-                 smdiv: float = 0.0,
+                 smdiv: float = 0.0, halo_backend: str = "ppermute",
+                 force_exchange: bool = False,
                  tj: int | None = None, interpret: bool | None = None):
+        """``halo_backend``: "ppermute" (XLA collectives; default) or
+        "rdma" (Pallas ``make_async_remote_copy`` ring exchange along the
+        j mesh axis, MESH-coordinate addressed — i-axis refreshes stay on
+        ppermute, see halo.remote_refresh_axis's layout note).  The rdma
+        backend requires compiled execution (the Pallas interpreter
+        cannot discharge remote DMAs on multi-axis meshes).
+
+        ``force_exchange`` runs the per-substep halo refreshes even on
+        1-shard axes (a ring of one: self-exchange).  This corrupts the
+        boundary-ring rows, so it is NOT for production — it exists so a
+        single chip can execute the exact in-scan exchange code path of a
+        multi-chip run and the two backends can be diffed on hardware."""
+        if halo_backend not in ("ppermute", "rdma"):
+            raise ValueError(f"bad halo_backend {halo_backend!r}")
+        self._force_exchange = force_exchange
         self.mesh = mesh
         self.domain = (nx, ny, nz)
         self.with_w = with_w
@@ -144,7 +160,8 @@ class SmallStepLoop:
 
         def local_loop(arrs, scalars):
             nj_loc, K, ni_loc = arrs["ww"].shape
-            j_sh, i_sh = j_shards > 1, i_shards > 1
+            j_sh = j_shards > 1 or force_exchange
+            i_sh = i_shards > 1 or force_exchange
 
             padded = {}
             for name in F3:
@@ -197,16 +214,25 @@ class SmallStepLoop:
                         k0=k0, k1=k1, kde=nz - 1,
                     )
 
-            def refresh3(x):
+            def refresh_j(x, cid):
+                """j-axis halo refresh on the selected backend (axis 0 for
+                both 2-D and 3-D local blocks)."""
+                if halo_backend == "rdma":
+                    return halo.remote_refresh_axis(
+                        x, "j", n_interior=nj_loc, collective_id=cid,
+                        interpret=interpret)
+                return halo.refresh_axis(x, 0, "j", n_interior=nj_loc)
+
+            def refresh3(x, cid=1):
                 if j_sh:
-                    x = halo.refresh_axis(x, 0, "j", n_interior=nj_loc)
+                    x = refresh_j(x, cid)
                 if i_sh:
                     x = halo.refresh_axis(x, 2, "i", n_interior=ni_loc)
                 return x
 
-            def refresh2(x):
+            def refresh2(x, cid=2):
                 if j_sh:
-                    x = halo.refresh_axis(x, 0, "j", n_interior=nj_loc)
+                    x = refresh_j(x, cid)
                 if i_sh:
                     x = halo.refresh_axis(x, 1, "i", n_interior=ni_loc)
                 return x
@@ -233,14 +259,14 @@ class SmallStepLoop:
                     # neighbors; v's halo row feeds the next tile's j+1
                     # mass flux.  u's halo lanes self-maintain in-register
                     # (the kernel recomputes them from the fresh mu halo).
-                    mu_p = refresh2(state["mu"])
+                    mu_p = refresh2(state["mu"], cid=2)
                     v = state["v"]
                     if j_sh:
-                        v = halo.refresh_axis(v, 0, "j", n_interior=nj_loc)
+                        v = refresh_j(v, cid=3)
                     ins = {**const, **state, "mu": mu_p, "v": v}
                     if smdiv:
                         # mudf is read at the same neighbor points as mu
-                        ins["mudf_in"] = refresh2(ins.pop("mudf"))
+                        ins["mudf_in"] = refresh2(ins.pop("mudf"), cid=4)
                     out = fused_step(ins, with_tave,
                                      "final" if final else "lite")
                     if final:

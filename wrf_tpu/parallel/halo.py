@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -77,6 +78,71 @@ def refresh_axis(xp: jax.Array, axis: int, axis_name: str,
     return lax.dynamic_update_slice(xp, from_next, starts_hi)
 
 
+def _ring_ids(axis_name: str, interpret: bool):
+    """(next, prev, id_type) neighbor addressing for a ring along
+    ``axis_name`` — MESH-coordinate dicts compiled (multi-axis meshes
+    supported), LOGICAL ints in interpret mode (1-axis only there)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    my = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    id_type = (pltpu.DeviceIdType.LOGICAL if interpret
+               else pltpu.DeviceIdType.MESH)
+
+    def nbr(idx):
+        return idx if interpret else {axis_name: idx}
+
+    return nbr(lax.rem(my + 1, n)), nbr(lax.rem(my + n - 1, n)), id_type
+
+
+def _rdma_rows(rows: jax.Array, axis_name: str, collective_id: int,
+               interpret: bool) -> jax.Array:
+    """Ring-exchange a 2-slot staging buffer: slot 0 (my last interior
+    row) goes to the NEXT shard's recv slot 0; slot 1 (my first interior
+    row) to the PREVIOUS shard's recv slot 1.  Returns the received
+    buffer: [from_prev, from_next]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(stage_ref, recv_ref, send_a, recv_a, send_b, recv_b):
+        nxt, prv, id_type = _ring_ids(axis_name, interpret)
+        if not interpret:
+            # both neighbors must have entered (recv_ref allocated and no
+            # other op still reading its buffer) before any remote write
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(barrier, inc=1, device_id=nxt,
+                                   device_id_type=id_type)
+            pltpu.semaphore_signal(barrier, inc=1, device_id=prv,
+                                   device_id_type=id_type)
+            pltpu.semaphore_wait(barrier, 2)
+        up = pltpu.make_async_remote_copy(
+            src_ref=stage_ref.at[pl.ds(0, 1)],
+            dst_ref=recv_ref.at[pl.ds(0, 1)],
+            send_sem=send_a, recv_sem=recv_a,
+            device_id=nxt, device_id_type=id_type)
+        down = pltpu.make_async_remote_copy(
+            src_ref=stage_ref.at[pl.ds(1, 1)],
+            dst_ref=recv_ref.at[pl.ds(1, 1)],
+            send_sem=send_b, recv_sem=recv_b,
+            device_id=prv, device_id_type=id_type)
+        up.start()
+        down.start()
+        up.wait()
+        down.wait()
+
+    space = {} if interpret else {"memory_space": pltpu.ANY}
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(rows.shape, rows.dtype),
+        in_specs=[pl.BlockSpec(**space)],
+        out_specs=pl.BlockSpec(**space),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())] * 4,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        interpret=interpret,
+    )(rows)
+
+
 def remote_refresh_axis(xp: jax.Array, axis_name: str,
                         n_interior: int | None = None,
                         collective_id: int = 0,
@@ -86,67 +152,47 @@ def remote_refresh_axis(xp: jax.Array, axis_name: str,
     XLA ``ppermute`` — the chip-to-chip path SURVEY.md §7 calls for when
     halo transfers should overlap in-kernel compute.
 
-    Each shard RDMAs its first/last interior rows straight into its
-    neighbors' halo slots of the aliased output block; ``rdma.wait()``
-    pairs every send with the matching receive, so the exchange needs no
-    separate barrier.  On this framework's measured balance the halo
-    traffic is <3% of substep time (SCALING.md), so the production loops
-    keep the simpler ``ppermute`` form; this backend is validated against
-    it on the virtual multi-device mesh and stands ready for slices where
-    overlap matters.  (Pallas LOGICAL device ids address a single named
-    mesh axis — use a 1-axis mesh, or extend to MESH coordinates for 2-D
-    decompositions.)
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    Each shard RDMAs its first/last interior rows into its neighbors'
+    staging buffers; ``rdma.wait()`` pairs every send with the matching
+    receive.  Neighbors are addressed by MESH coordinates along
+    ``axis_name`` (``device_id={axis_name: idx}``), so this works on any
+    named axis of a multi-axis mesh — a 2-D ``(j, i)`` decomposition
+    refreshes its j halos with ``axis_name="j"`` while every i-row of the
+    mesh runs its own independent ring.
 
+    TPU layout note: the exchange always runs through a FLATTENED 2-slot
+    staging buffer ``(2, flat)`` with ``flat`` lane-padded to a multiple
+    of 128: Mosaic's DMA slicing of multi-dim HBM refs imposes tiling
+    constraints on the minor dims (measured on v5e: lane extents that are
+    not 128-multiples, and various sublane extents, crash the compile
+    helper), while a 2-D aligned buffer slices cleanly everywhere.  The
+    staging copies are O(row) on each side — the same order as the
+    ppermute form.  Lane-axis (i) halos are single-COLUMN strided slices,
+    hostile to DMA either way, so 2-D meshes keep the ``ppermute`` form
+    for the i exchange (the volume is identical; only the launch
+    mechanics differ).
+    """
     n_int = (xp.shape[0] - 2) if n_interior is None else n_interior
 
-    def kernel(x_ref, o_ref, send_lo, recv_lo, send_hi, recv_hi):
-        del x_ref  # aliased onto o_ref
-        my = lax.axis_index(axis_name)
-        n = lax.axis_size(axis_name)
-        nxt = lax.rem(my + 1, n)
-        prv = lax.rem(my + n - 1, n)
-        # neighbor barrier: an RDMA writes into the neighbor's DONATED
-        # buffer, so both neighbors must have entered the kernel (and thus
-        # finished every earlier read of that buffer) before any send.
-        # Interpret mode executes shards synchronously (no race) and
-        # cannot lower the barrier semaphore, so the barrier is compiled
-        # in only for real hardware.
-        if not interpret:
-            barrier = pltpu.get_barrier_semaphore()
-            pltpu.semaphore_signal(barrier, inc=1, device_id=nxt,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
-            pltpu.semaphore_signal(barrier, inc=1, device_id=prv,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
-            pltpu.semaphore_wait(barrier, 2)
-        # my last interior row -> next shard's low halo slot
-        up = pltpu.make_async_remote_copy(
-            src_ref=o_ref.at[pl.ds(n_int, 1)],
-            dst_ref=o_ref.at[pl.ds(0, 1)],
-            send_sem=send_hi, recv_sem=recv_lo,
-            device_id=nxt, device_id_type=pltpu.DeviceIdType.LOGICAL)
-        # my first interior row -> previous shard's high halo slot
-        down = pltpu.make_async_remote_copy(
-            src_ref=o_ref.at[pl.ds(1, 1)],
-            dst_ref=o_ref.at[pl.ds(n_int + 1, 1)],
-            send_sem=send_lo, recv_sem=recv_hi,
-            device_id=prv, device_id_type=pltpu.DeviceIdType.LOGICAL)
-        up.start()
-        down.start()
-        up.wait()
-        down.wait()
+    # stage the two edge rows, flattened and lane-padded to alignment;
+    # shaped (2, 1, flat) — rank 3 — because 2-D ANY-space buffers crash
+    # the v5e compile helper (measured; 3-D of any flat width compile)
+    rows = jnp.stack([lax.index_in_dim(xp, n_int, 0, keepdims=False),
+                      lax.index_in_dim(xp, 1, 0, keepdims=False)])
+    row_elems = int(np.prod(rows.shape[1:]))
+    flat = rows.reshape(2, 1, row_elems)
+    pad = (-row_elems) % 128
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-        input_output_aliases={0: 0},
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())] * 4,
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id),
-        interpret=interpret,
-    )(xp)
+    recv = _rdma_rows(flat, axis_name, collective_id, interpret)
+    halo_lo = recv[0, 0, :row_elems].reshape(rows.shape[1:])  # prev's last
+    halo_hi = recv[1, 0, :row_elems].reshape(rows.shape[1:])  # next's first
+    starts_lo = [0] * xp.ndim
+    starts_hi = [0] * xp.ndim
+    starts_hi[0] = n_int + 1
+    xp = lax.dynamic_update_slice(xp, halo_lo[None], starts_lo)
+    return lax.dynamic_update_slice(xp, halo_hi[None], starts_hi)
 
 
 def halo3(x: jax.Array, j_sharded: bool = True, i_sharded: bool = True) -> jax.Array:
