@@ -193,3 +193,45 @@ def test_remote_dma_halo_inside_scan(small_case):
         return np.asarray(jax.jit(f)(jnp.asarray(x)))
 
     np.testing.assert_array_equal(run("rdma"), run("ppermute"))
+
+
+def test_remote_dma_multi_field_exchange(small_case):
+    """remote_refresh_multi (ONE launch for a whole field set, mixed
+    3-D/2-D, with a recv-only field) matches per-field ppermute refreshes
+    on the virtual mesh."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from wrf_tpu.parallel import halo
+
+    mesh = jax.make_mesh((8,), ("j",), devices=jax.devices()[:8])
+    rng = np.random.default_rng(11)
+    a3 = rng.standard_normal((8 * 4, 3, 20)).astype(np.float32)  # 3-D
+    b2 = rng.standard_normal((8 * 4, 20)).astype(np.float32)     # 2-D
+    c3 = rng.standard_normal((8 * 4, 3, 20)).astype(np.float32)  # recv-only
+
+    def run(backend):
+        def local(a, b, c):
+            a, b, c = (halo.pad_axis(x, 0) for x in (a, b, c))
+            if backend == "ppermute":
+                a = halo.refresh_axis(a, 0, "j")
+                b = halo.refresh_axis(b, 0, "j")
+                c = halo.refresh_axis(c, 0, "j")
+                # the rdma form leaves a recv-only field's LOW halo alone
+                c = c.at[0].set(0.0)
+            else:
+                a, b, c = halo.remote_refresh_multi(
+                    [a, b, c], "j", a.shape[0] - 2,
+                    recv_only=("", "", "hi"), interpret=True)
+                c = c.at[0].set(0.0)
+            return a, b, c
+        f = jax.shard_map(local, mesh=mesh,
+                          in_specs=(P("j"), P("j"), P("j")),
+                          out_specs=(P("j"), P("j"), P("j")),
+                          check_vma=False)
+        return [np.asarray(x) for x in
+                jax.jit(f)(jnp.asarray(a3), jnp.asarray(b2), jnp.asarray(c3))]
+
+    for got, want in zip(run("rdma"), run("ppermute")):
+        np.testing.assert_array_equal(got, want)

@@ -1,0 +1,125 @@
+"""Root-cause harness for the explicit-vmem-limit worker fault.
+
+Round-1 finding: passing ANY explicit ``vmem_limit_bytes`` to a DIRECT
+(non-shard_map) invocation of the fused kernel hard-faults the v5e worker
+at some shapes, while the identical kernel runs fine under the default
+scoped limit — mitigated by a shape-based gate
+(``advance_mu_t_pallas.sharded_tile_params``).  This harness maps the
+actual failure surface: each (shape, limit, call-form) config runs in its
+OWN subprocess (a fault kills only that subprocess's client), with a
+health-gate between configs (worker restarts take 1-3 min).
+
+    python tools/vmem_probe.py            # run the standard matrix
+    python tools/vmem_probe.py --child CFG  (internal)
+
+Outcome per config: OK / COMPILE-ERROR (graceful) / FAULT (client died or
+worker went unhealthy) / TIMEOUT.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHILD = """
+import json, sys
+cfg = json.loads(sys.argv[1])
+import jax, numpy as np
+import jax.numpy as jnp
+from wrf_tpu.io import fixtures
+from wrf_tpu.ops.advance_mu_t_pallas import advance_mu_t_pallas
+
+case = fixtures.make_case(cfg["nx"], cfg["ny"], cfg["nz"], halo=3, seed=1)
+kw = case.kernel_kwargs()
+b, flags = case.bounds, case.flags
+i0, i1, j0, j1, k0, k1 = b.loop_bounds(flags)
+arr = {k: v for k, v in kw.items() if hasattr(v, "ndim")}
+sc = {k: kw[k] for k in ("rdx", "rdy", "dts", "epssm")}
+
+def step(ins):
+    return advance_mu_t_pallas(
+        **ins, **sc, window=(i0, i1, j0, j1), k0=k0, k1=k1,
+        kde=b.mem(b.kde, "k"), vmem_limit=cfg["limit"] or None,
+        tj=cfg.get("tj"))
+
+if cfg["form"] == "direct":
+    out = jax.jit(step)(arr)
+else:
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("j", "i"))
+    out = jax.jit(jax.shard_map(step, mesh=mesh,
+                                in_specs=P(), out_specs=P(),
+                                check_vma=False))(arr)
+print("CHK", float(jnp.sum(out["t"])))
+"""
+
+
+def healthy(timeout=60):
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax.numpy as jnp;"
+         "assert float(jnp.ones((8,128)).sum())==1024.0"],
+        capture_output=True, timeout=timeout + 30)
+    return r.returncode == 0
+
+
+def wait_healthy(max_tries=12, pause=20):
+    for _ in range(max_tries):
+        try:
+            if healthy():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(pause)
+    return False
+
+
+def run_config(cfg, timeout=300):
+    try:
+        r = subprocess.run([sys.executable, "-c", CHILD, json.dumps(cfg)],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return "TIMEOUT", ""
+    if r.returncode == 0 and "CHK" in r.stdout:
+        return "OK", r.stdout.strip().splitlines()[-1]
+    err = (r.stderr or "")[-2000:]
+    for marker in ("Mosaic failed", "RESOURCE_EXHAUSTED", "exceeds",
+                   "ValueError"):
+        if marker in err:
+            line = next((l for l in err.splitlines() if marker in l), marker)
+            return "COMPILE-ERROR", line[:160]
+    return "FAULT", err.splitlines()[-1][:160] if err else "no stderr"
+
+
+def main():
+    mib = 2**20
+    matrix = []
+    # the round-1 fault cite: K=32, I=128-class tiles, direct call
+    for limit in (0, 16 * mib, 32 * mib, 64 * mib, 100 * mib):
+        matrix.append(dict(nx=74, ny=61, nz=32, form="direct", limit=limit))
+    # same shape through shard_map (the gated-OK form)
+    for limit in (0, 64 * mib):
+        matrix.append(dict(nx=74, ny=61, nz=32, form="shard", limit=limit))
+    # a wide-I shape (the gate currently ALLOWS the raised limit here)
+    for limit in (0, 64 * mib):
+        matrix.append(dict(nx=512, ny=64, nz=50, form="direct", limit=limit))
+
+    results = []
+    for cfg in matrix:
+        if not wait_healthy():
+            print("worker never recovered; aborting matrix", flush=True)
+            break
+        status, note = run_config(cfg)
+        lim = cfg["limit"] // mib if cfg["limit"] else "default"
+        print(f"{cfg['nx']}x{cfg['ny']}x{cfg['nz']} {cfg['form']:>6} "
+              f"limit={lim:>7}: {status}  {note}", flush=True)
+        results.append((cfg, status))
+    bad = [r for r in results if r[1] not in ("OK", "COMPILE-ERROR")]
+    print(f"\n{len(results)} configs, {len(bad)} fault/timeout")
+
+
+if __name__ == "__main__":
+    main()

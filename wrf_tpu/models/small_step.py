@@ -259,6 +259,35 @@ class SmallStepLoop:
                     # neighbors; v's halo row feeds the next tile's j+1
                     # mass flux.  u's halo lanes self-maintain in-register
                     # (the kernel recomputes them from the fresh mu halo).
+                    if halo_backend == "rdma" and j_sh:
+                        # ONE RDMA launch for every j-halo of the substep
+                        # (v consumes only its high halo in the fused
+                        # kernel); i-halos stay on ppermute (lane axis)
+                        flds = [state["mu"], state["v"]]
+                        ro = ("", "hi")
+                        if smdiv:
+                            flds.append(state["mudf"])
+                            ro = ro + ("",)
+                        flds = halo.remote_refresh_multi(
+                            flds, "j", nj_loc, recv_only=ro,
+                            collective_id=2, interpret=interpret)
+                        mu_p, v = flds[0], flds[1]
+                        mudf_p = flds[2] if smdiv else None
+                        if i_sh:
+                            mu_p = halo.refresh_axis(mu_p, 1, "i",
+                                                     n_interior=ni_loc)
+                            if smdiv:
+                                mudf_p = halo.refresh_axis(
+                                    mudf_p, 1, "i", n_interior=ni_loc)
+                        ins = {**const, **state, "mu": mu_p, "v": v}
+                        if smdiv:
+                            ins.pop("mudf")
+                            ins["mudf_in"] = mudf_p
+                        out = fused_step(ins, with_tave,
+                                         "final" if final else "lite")
+                        if final:
+                            return state, out
+                        return {k: out[k] for k in carry_keys}, out
                     mu_p = refresh2(state["mu"], cid=2)
                     v = state["v"]
                     if j_sh:
@@ -275,8 +304,23 @@ class SmallStepLoop:
             else:
                 def substep(state, with_tave=True, final=False):
                     del with_tave, final
-                    mu_p = refresh2(state["mu"])
-                    mudf_p = (refresh2(state["mudf"]) if smdiv else None)
+                    if halo_backend == "rdma" and j_sh:
+                        flds = [state["mu"]] + ([state["mudf"]] if smdiv
+                                                else [])
+                        flds = halo.remote_refresh_multi(
+                            flds, "j", nj_loc, collective_id=2,
+                            interpret=interpret)
+                        mu_p = flds[0]
+                        mudf_p = flds[1] if smdiv else None
+                        if i_sh:
+                            mu_p = halo.refresh_axis(mu_p, 1, "i",
+                                                     n_interior=ni_loc)
+                            if smdiv:
+                                mudf_p = halo.refresh_axis(
+                                    mudf_p, 1, "i", n_interior=ni_loc)
+                    else:
+                        mu_p = refresh2(state["mu"])
+                        mudf_p = (refresh2(state["mudf"]) if smdiv else None)
                     u, v = advance_uv_jnp(
                         u=state["u"], v=state["v"], mu=mu_p,
                         muu=const["muu"], muv=const["muv"],
@@ -287,7 +331,17 @@ class SmallStepLoop:
                         mudf=mudf_p, smdiv=smdiv,
                     )
                     # the winds changed: advance_mu_t reads u(i+1)/v(j+1)
-                    u, v = refresh3(u), refresh3(v)
+                    if halo_backend == "rdma" and j_sh:
+                        u, v = halo.remote_refresh_multi(
+                            [u, v], "j", nj_loc, collective_id=3,
+                            interpret=interpret)
+                        if i_sh:
+                            u = halo.refresh_axis(u, 2, "i",
+                                                  n_interior=ni_loc)
+                            v = halo.refresh_axis(v, 2, "i",
+                                                  n_interior=ni_loc)
+                    else:
+                        u, v = refresh3(u), refresh3(v)
                     ins = {k: v_ for k, v_ in {**const, **state}.items()
                            if k not in ("w", "pp", "rdn", "mudf")}
                     out = mu_t_step({**ins, "mu": mu_p, "u": u, "v": v})

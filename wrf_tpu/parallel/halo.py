@@ -195,6 +195,69 @@ def remote_refresh_axis(xp: jax.Array, axis_name: str,
     return lax.dynamic_update_slice(xp, halo_hi[None], starts_hi)
 
 
+def remote_refresh_multi(fields: list[jax.Array], axis_name: str,
+                         n_interior: int, *, recv_only: tuple[str, ...] = (),
+                         collective_id: int = 0,
+                         interpret: bool = False) -> list[jax.Array]:
+    """Refresh the axis-0 halos of SEVERAL already-padded local blocks with
+    ONE remote-DMA kernel launch — one neighbor barrier and one RDMA per
+    direction for the whole field set, where the ppermute form costs a
+    collective pair per field per direction.  At small local tiles the
+    per-substep exchange cost is launch-dominated (SCALING.md's 128² case),
+    so consolidating launches is where the overlap budget actually is.
+
+    ``fields[k]`` with ``recv_only[k] == "hi"`` only receives its high
+    halo row (and only sends its first interior row) — used for fields
+    whose low halo is never read (the coupled loop's ``v``).  Payloads are
+    concatenated per direction, lane-padded, exchanged via
+    :func:`_rdma_rows`, and scattered back with O(row) updates.
+    """
+    sizes = [int(np.prod(x.shape[1:])) for x in fields]
+    ro = list(recv_only) + [""] * (len(fields) - len(recv_only))
+
+    # per-direction payloads: to_next carries last interior rows (becomes
+    # the next shard's LOW halo); to_prev carries first interior rows
+    # (becomes the previous shard's HIGH halo)
+    to_next = [lax.index_in_dim(x, n_interior, 0, keepdims=False).reshape(-1)
+               for x, r in zip(fields, ro) if r != "hi"]
+    to_prev = [lax.index_in_dim(x, 1, 0, keepdims=False).reshape(-1)
+               for x in fields]
+    flat_n = sum(s for s, r in zip(sizes, ro) if r != "hi")
+    flat_p = sum(sizes)
+    flat = max(flat_n, flat_p)
+    pad = (-flat) % 128
+    flat += pad
+
+    dtype = fields[0].dtype
+
+    def payload(parts, n):
+        cat = jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype)
+        return jnp.pad(cat, (0, flat - n))
+
+    rows = jnp.stack([payload(to_next, flat_n),
+                      payload(to_prev, flat_p)]).reshape(2, 1, flat)
+    recv = _rdma_rows(rows, axis_name, collective_id, interpret)
+    from_prev = recv[0, 0]   # previous shard's last interior rows
+    from_next = recv[1, 0]   # next shard's first interior rows
+
+    out = []
+    off_n = 0
+    off_p = 0
+    for x, s, r in zip(fields, sizes, ro):
+        row_shape = (1,) + x.shape[1:]
+        if r != "hi":
+            lo = from_prev[off_n : off_n + s].reshape(row_shape)
+            x = lax.dynamic_update_slice(x, lo, [0] * x.ndim)
+            off_n += s
+        hi = from_next[off_p : off_p + s].reshape(row_shape)
+        starts = [0] * x.ndim
+        starts[0] = n_interior + 1
+        x = lax.dynamic_update_slice(x, hi, starts)
+        off_p += s
+        out.append(x)
+    return out
+
+
 def halo3(x: jax.Array, j_sharded: bool = True, i_sharded: bool = True) -> jax.Array:
     """(j, k, i) local block -> (j+2, k, i+2)."""
     return with_halo(x, j_axis=0, i_axis=2, j_sharded=j_sharded, i_sharded=i_sharded)
