@@ -162,3 +162,40 @@ class TestCodec:
         assert case2.bounds == case.bounds
         for name, arr in case.fields.items():
             assert (case2.fields[name] == arr).all(), name
+
+
+def test_4d_field_utilities(tmp_path):
+    """The reference's 4-D field cluster (read_data_4d / swap_data_4d /
+    compare_4d, common.cu:10-48, 330-427): round-trip a 4-D species field
+    through the codec in both layouts, cross-check the native layout swap
+    against the Python one, and run a windowed 4-D comparison."""
+    import numpy as np
+    from wrf_tpu.compare import compare_window
+    from wrf_tpu.io import codec
+    from wrf_tpu.native import swap_4d_native
+
+    rng = np.random.default_rng(21)
+    sdim, jdim, kdim, idim = 3, 5, 4, 7
+    a = rng.standard_normal((sdim, jdim, kdim, idim)).astype(np.float32)
+
+    codec.write_field(tmp_path / "q4.bin", a)
+    back = codec.read_field_4d(tmp_path / "q4.bin", (sdim, jdim, kdim, idim))
+    np.testing.assert_array_equal(back, a)
+    swapped = codec.read_field_4d(tmp_path / "q4.bin",
+                                  (sdim, jdim, kdim, idim), layout="jski")
+    np.testing.assert_array_equal(swapped, np.swapaxes(a, 0, 1))
+    np.testing.assert_array_equal(codec.swap_field_4d(swapped), a)
+
+    # native swap agrees bit-for-bit with the Python one
+    np.testing.assert_array_equal(swap_4d_native(swapped), a)
+
+    # windowed 4-D comparison excludes the perturbed halo cells
+    b = a.copy()
+    b[:, 0, :, :] += 1.0
+    b[:, :, :, -1] += 1.0
+    r = compare_window(b, a, "q4", i_slice=slice(1, -1),
+                       j_slice=slice(1, -1), s_slice=slice(None))
+    assert r.all_equal
+    r_full = compare_window(b, a, "q4", i_slice=slice(None),
+                            j_slice=slice(None))
+    assert not r_full.all_equal

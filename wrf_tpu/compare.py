@@ -180,6 +180,7 @@ def compare_window(
     i_slice: slice,
     j_slice: slice,
     k_slice: slice | None = None,
+    s_slice: slice | None = None,
     **kw,
 ) -> CompareResult:
     """Windowed comparison restricted to a tile/interior region.
@@ -187,14 +188,21 @@ def compare_window(
     The reference deliberately excludes halo/boundary cells from the pass
     criteria for 2-D outputs and for multi-GPU runs
     (advance_mu_t_driver.c:417-541 ``compare_2d_t``,
-    advance_mu_t_driver.cu:190-203).  ``actual``/``golden`` are ``(j, i)``
-    or ``(j, k, i)`` arrays.
+    advance_mu_t_driver.cu:190-203); its 4-D variant windows the species
+    axis too (``compare_4d``, common.cu:344-427).  ``actual``/``golden``
+    are ``(j, i)``, ``(j, k, i)`` or ``(s, j, k, i)`` arrays.
     """
     if actual.ndim == 2:
         return compare(actual[j_slice, i_slice], golden[j_slice, i_slice], name, **kw)
+    ks = k_slice if k_slice is not None else slice(None)
     if actual.ndim == 3:
-        ks = k_slice if k_slice is not None else slice(None)
         return compare(
             actual[j_slice, ks, i_slice], golden[j_slice, ks, i_slice], name, **kw
         )
-    raise ValueError(f"{name}: expected 2-D or 3-D array, got ndim={actual.ndim}")
+    if actual.ndim == 4:
+        ss = s_slice if s_slice is not None else slice(None)
+        return compare(
+            actual[ss, j_slice, ks, i_slice],
+            golden[ss, j_slice, ks, i_slice], name, **kw
+        )
+    raise ValueError(f"{name}: expected 2-4-D array, got ndim={actual.ndim}")

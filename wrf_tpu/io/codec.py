@@ -81,3 +81,32 @@ def read_flag(path: str | os.PathLike) -> bool:
 
 def write_flag(path: str | os.PathLike, value: bool) -> None:
     write_int(path, int(bool(value)))
+
+
+def swap_field_4d(arr: np.ndarray) -> np.ndarray:
+    """Swap the two outer axes of a 4-D field — the reference's
+    ``swap_data_4d`` layout reorder between its "ikjm" and "ikmj" memory
+    orders (common.cu:330-342), which in this framework's C-order view is
+    ``(s, j, k, i) <-> (j, s, k, i)``.  Involution."""
+    if arr.ndim != 4:
+        raise ValueError(f"expected 4-D array, got ndim={arr.ndim}")
+    return np.ascontiguousarray(np.swapaxes(arr, 0, 1))
+
+
+def read_field_4d(
+    path: str | os.PathLike,
+    shape4: tuple[int, int, int, int],
+    *,
+    layout: str = "sjki",
+    nan_check: bool = True,
+) -> np.ndarray:
+    """Read a 4-D field (e.g. moisture species) stored i-fastest/k/j/s
+    (the reference's ``read_data_4d`` stream order, common.cu:10-48).
+
+    ``shape4`` is ``(sdim, jdim, kdim, idim)``.  ``layout="sjki"`` returns
+    the natural C-order array; ``"jski"`` returns the reference's swapped
+    "ikmj" in-memory order (species inside j)."""
+    if layout not in ("sjki", "jski"):
+        raise ValueError(f"bad layout {layout!r}")
+    arr = read_field(path, shape4, nan_check=nan_check)
+    return arr if layout == "sjki" else swap_field_4d(arr)

@@ -87,6 +87,8 @@ def _get_lib() -> ctypes.CDLL:
         _lib.wrf_advance_w.argtypes = (
             [ctypes.POINTER(_Window)] + [fp] * 5 + [ctypes.c_float] * 4
         )
+        _lib.wrf_swap_4d.restype = None
+        _lib.wrf_swap_4d.argtypes = [fp, fp] + [ctypes.c_int64] * 4
         _lib.wrf_compare.restype = None
         _lib.wrf_compare.argtypes = [fp, fp, ctypes.c_int64,
                                      ctypes.POINTER(_CompareResult)]
@@ -289,6 +291,20 @@ def advance_w_native(
     if rc != 0:
         raise RuntimeError(f"wrf_advance_w failed with rc={rc}")
     return w_o, pp_o
+
+
+def swap_4d_native(arr: np.ndarray) -> np.ndarray:
+    """Native 4-D layout reorder ``(j, m, k, i) -> (m, j, k, i)`` — the
+    reference's ``swap_data_4d`` (common.cu:330-342); cross-checked
+    against :func:`wrf_tpu.io.codec.swap_field_4d`."""
+    lib = _get_lib()
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    if a.ndim != 4:
+        raise ValueError(f"expected 4-D array, got ndim={a.ndim}")
+    jdim, mdim, kdim, idim = a.shape
+    out = np.empty((mdim, jdim, kdim, idim), np.float32)
+    lib.wrf_swap_4d(_fp(a), _fp(out), idim, kdim, jdim, mdim)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -109,3 +109,13 @@ void write_int(const std::string& path, int32_t value) {
 }
 
 }  // namespace wrf_native
+
+extern "C" void wrf_swap_4d(const float* in, float* out, int64_t idim,
+                            int64_t kdim, int64_t jdim, int64_t mdim) {
+  // (j, m, k, i) -> (m, j, k, i); each (k, i) plane is contiguous in both
+  const size_t plane = static_cast<size_t>(kdim) * idim;
+  for (int64_t j = 0; j < jdim; ++j)
+    for (int64_t m = 0; m < mdim; ++m)
+      std::memcpy(out + (m * jdim + j) * plane, in + (j * mdim + m) * plane,
+                  plane * sizeof(float));
+}

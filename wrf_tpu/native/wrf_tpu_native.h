@@ -104,6 +104,12 @@ typedef struct {
 void wrf_compare(const float* actual, const float* golden, int64_t n,
                  wrf_compare_result* out);
 
+// 4-D layout reorder between the reference's two memory orders
+// (swap_data_4d, common.cu:330-342): in is (j, m, k, i) C-order ("ikmj"),
+// out is (m, j, k, i) ("ikjm"); i contiguous in both.
+void wrf_swap_4d(const float* in, float* out, int64_t idim, int64_t kdim,
+                 int64_t jdim, int64_t mdim);
+
 // Lexicographic two's-complement ULP distance (reference: common.cu:51-66).
 int64_t wrf_float_ulps(float a, float b);
 
