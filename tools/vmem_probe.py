@@ -1,16 +1,29 @@
-"""Root-cause harness for the explicit-vmem-limit worker fault.
+"""Fault-surface probe for the explicit-vmem-limit worker fault.
 
-Round-1 finding: passing ANY explicit ``vmem_limit_bytes`` to a DIRECT
-(non-shard_map) invocation of the fused kernel hard-faults the v5e worker
-at some shapes, while the identical kernel runs fine under the default
-scoped limit — mitigated by a shape-based gate
-(``advance_mu_t_pallas.sharded_tile_params``).  This harness maps the
-actual failure surface: each (shape, limit, call-form) config runs in its
-OWN subprocess (a fault kills only that subprocess's client), with a
-health-gate between configs (worker restarts take 1-3 min).
+Measured findings on this v5e stack (2026-08-17, via this harness run
+config-by-config):
 
-    python tools/vmem_probe.py            # run the standard matrix
-    python tools/vmem_probe.py --child CFG  (internal)
+* 74x61x32, direct, NO limit ............................ OK
+* 74x61x32, direct, vmem_limit_bytes = 16 MiB (== Mosaic's
+  default value!) ....................................... WORKER FAULT
+* 74x61x32, shard_map (1,1), 16 MiB ..................... WORKER FAULT
+* 512-1500-wide shapes, shard_map, 64 MiB ............... OK (every
+  production bench config runs this daily)
+
+Since the tile selection is IDENTICAL with and without the flag and even
+the default value faults, the flag itself flips Mosaic's scoped-vmem
+codegen into emitting faulting code at narrow-I shapes — a compiler-stack
+bug that can only be mapped, not fixed here.  The framework's policy
+(``advance_mu_t_pallas``): no explicit limit by default anywhere; the
+raised limit only inside the measured-safe wide-lane region
+(``VMEM_LIMIT_SAFE_LANES``), with this probe as the re-mapping tool after
+any compiler-stack change.  ``WRF_TPU_VMEM_LIMIT=-1`` force-disables
+limits everywhere.
+
+Each (shape, limit, call-form) config runs in its OWN subprocess (a fault
+kills only that subprocess's client), with a health-gate between configs
+(worker restarts take minutes — run a slice ``python tools/vmem_probe.py
+LO HI`` when the relay is slow).
 
 Outcome per config: OK / COMPILE-ERROR (graceful) / FAULT (client died or
 worker went unhealthy) / TIMEOUT.
@@ -106,6 +119,10 @@ def main():
     # a wide-I shape (the gate currently ALLOWS the raised limit here)
     for limit in (0, 64 * mib):
         matrix.append(dict(nx=512, ny=64, nz=50, form="direct", limit=limit))
+
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else len(matrix)
+    matrix = matrix[lo:hi]
 
     results = []
     for cfg in matrix:

@@ -424,15 +424,17 @@ SHARDED_VMEM_BUDGET = 56 * 2**20
 
 def _pick_tj(K: int, I: int, budget: int = 15 * 2**20,
              streams: int = 44) -> int:
-    """Largest power-of-two j-tile whose working set fits the scoped-VMEM
-    ``budget`` (default: Mosaic's 16 MiB default limit minus slack).  The
-    per-tj cost model matches Mosaic's observed accounting (``streams``
-    double-buffered (1,K,I)-row streams + scratch + thin 2-D streams:
-    ~44 for the plain substep, ~56 with the fused w solve); the
-    shard_map'd loops pass ``SHARDED_VMEM_BUDGET`` together with a raised
-    ``vmem_limit``."""
+    """Largest j-tile (any integer up to 32) whose working set fits the
+    scoped-VMEM ``budget`` (default: Mosaic's 16 MiB default limit minus
+    slack).  The per-tj cost model matches Mosaic's observed accounting
+    (``streams`` double-buffered (1,K,I)-row streams + scratch + thin 2-D
+    streams: ~44 for the plain substep, ~56 with the fused w solve).
+    Non-power-of-two tiles are fine — the wrappers pad (J-2) up to a tj
+    multiple — and they matter: at 512-wide/K=50 the default budget fits
+    tj=3 but not tj=4, and tj=3 measures ~4% off the raised-limit tj=8
+    where tj=2 costs ~7%."""
     per_tj = 4 * I * (streams * K + 40)
-    for cand in (32, 16, 8, 4, 2):
+    for cand in range(32, 1, -1):
         if cand * per_tj <= budget:
             return cand
     return 1
@@ -458,13 +460,21 @@ def _row_view(tj: int, K: int, I: int, row_shift: int):
 
 def _compiler_params(vmem_limit: int | None):
     """Explicit ``vmem_limit_bytes`` is only set when the caller opted in
-    (``vmem_limit`` arg, or WRF_TPU_VMEM_LIMIT override).  On the v5e stack
-    tested, a raised limit on a DIRECT (non-shard_map) pallas invocation
-    makes Mosaic emit kernels that hard-fault the TPU worker at some shapes
-    (e.g. K=32, I=128 tiles) — the identical kernel under ``shard_map``
-    runs correctly, as does the direct call under the default limit.  The
-    shard_map'd loops therefore pass ``SHARDED_VMEM_LIMIT`` (validated) and
-    the direct driver path stays on the default."""
+    (``vmem_limit`` arg, or the WRF_TPU_VMEM_LIMIT env override; set the
+    env to -1 to force it off everywhere).
+
+    Root-cause status (measured on the v5e stack, tools/vmem_probe.py):
+    setting ``vmem_limit_bytes`` — at ANY value, including 16 MiB which
+    equals Mosaic's default, on BOTH direct and shard_map call forms,
+    with the tile selection unchanged — makes Mosaic emit code that
+    hard-faults the TPU worker at narrow-I shapes (e.g. the 74x61x32
+    reference grid).  The same flag at wide-I shapes (>= 384 lanes) is
+    extensively validated by the production benches.  The flag therefore
+    changes Mosaic's scoped-vmem CODEGEN, not our tiling, and the fault
+    is a compiler-stack bug this framework can only map, not fix: the
+    default path never sets a limit, and the raised limit is applied only
+    inside the measured-safe region (``sharded_tile_params``), re-mappable
+    after a stack change by rerunning the probe."""
     import os
     limit = int(os.environ.get("WRF_TPU_VMEM_LIMIT", vmem_limit or 0))
     if limit <= 0:
@@ -511,14 +521,23 @@ def lean_constants(*, ww_1, u_1, v_1, ft, t_1, fnm, fnp, rdnw,
     return tconst, dvdxi_const, ww1_k0
 
 
+#: lane width at or above which the raised limit is MEASURED safe: every
+#: production bench config (512..1500-wide) runs it; below it the explicit
+#: flag faults the worker at any value (tools/vmem_probe.py — rerun the
+#: probe to re-map this boundary after a compiler-stack change)
+VMEM_LIMIT_SAFE_LANES = 384
+
+
 def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None,
                         streams: int = 44):
-    """(tj, vmem_limit) for the shard_map'd loops: the raised scoped-VMEM
-    limit is validated only at wide-I shapes (>= 384 lanes, where it buys
-    tj >= 4); at narrow shapes an explicit limit can fault the worker (see
-    ``_compiler_params``), and the default budget already gives a large tj
-    there."""
-    use_limit = ni_loc + 2 >= 384
+    """(tj, vmem_limit) for the shard_map'd loops.
+
+    Default: no explicit limit, largest (any-integer) tile under Mosaic's
+    default budget.  Inside the measured-safe wide-lane region
+    (``VMEM_LIMIT_SAFE_LANES``, see ``_compiler_params`` for the fault
+    root-cause), a raised limit buys larger tiles — worth ~4% at the
+    512-wide bench shape (tj=8 vs the default budget's tj=3)."""
+    use_limit = ni_loc + 2 >= VMEM_LIMIT_SAFE_LANES
     vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
     tj_loc = tj or _pick_tj(
         K, ni_loc + 2, streams=streams,
