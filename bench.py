@@ -24,8 +24,10 @@ forcing execution: per_step = (T(n2) - T(n1)) / (n2 - n1).  This cancels
 dispatch latency, compile-cache effects and the readback, and (like the
 reference's timed window, advance_mu_t_no_async.cu:324-363) excludes host
 transfers.  CONUS compiles take ~250-300 s per loop build, so that config
-uses a single-compile T(n)/n protocol with the measured readback round-trip
-subtracted.
+uses a single-compile marginal protocol instead: m=1 vs m=3 chained
+dispatches of the one compiled loop, (T(3)-T(1))/(2*steps) — the chip
+executes enqueued programs in order, so the difference is pure device
+compute with the same constant-cancellation as the two-build method.
 """
 
 from __future__ import annotations
@@ -84,24 +86,44 @@ def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
 
 def bench_single_compile(mesh, case, nx, ny, nz, *, steps, repeats=3,
                          coupled=False, with_w=False):
-    """per-step seconds with ONE loop build (for compile-expensive configs):
-    T(steps)/steps with the measured readback round-trip subtracted."""
-    probe = jnp.zeros((8, 128))
-    float(probe.sum())
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(probe.sum())
-    readback = (time.perf_counter() - t0) / 5
+    """per-step seconds with ONE loop build (for compile-expensive configs),
+    marginal between m=1 and m=3 chained dispatches of the compiled loop.
 
-    run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w)
-    checksum = run()
+    The single chip executes enqueued programs in dispatch order, so
+    T(m=3) - T(m=1) = 2*steps of pure device compute — the readback
+    round-trip, per-call dispatch, and warmup constants all cancel, same
+    cancellation property as the two-build marginal method but without
+    paying a second ~300 s CONUS compile."""
+    from wrf_tpu.models.small_step import SmallStepLoop
+    from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
+
+    if coupled:
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             with_w=with_w)
+        arrays = loop.prepare(case_to_domain(case, with_w=with_w))
+    else:
+        loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, vary_winds=True)
+        arrays = loop.prepare(case_to_domain(case))
+    scalars = (case.rdx, case.rdy, case.dts, case.epssm)
+
+    def run_m(m):
+        out = None
+        for _ in range(m):
+            out = loop(arrays, *scalars)
+        return float(jnp.sum(out["t"][:, 0, :]) + jnp.sum(out["mu"]))
+
+    checksum = run_m(1)  # compile + warm up (also proves non-NaN execution)
     assert np.isfinite(checksum), "non-finite checksum"
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
-    return max(best - readback, 1e-9) / steps
+    times = {}
+    for m in (1, 3):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_m(m)
+            best = min(best, time.perf_counter() - t0)
+        times[m] = best
+    return (times[3] - times[1]) / (2 * steps)
 
 
 def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:

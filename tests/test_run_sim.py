@@ -34,7 +34,7 @@ def test_run_sim_smoke(tmp_path, small_case, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert out.count("grid-points/s") == 2
-    assert out.count("column-mass") == 2
+    assert out.count("total dry mass") == 2
     assert (tmp_path / "trace").exists()
 
 

@@ -61,3 +61,29 @@ def test_pallas_odd_shape_periodic():
         flags=ConfigFlags(periodic_x=True, specified=True),
     )
     pallas_vs_golden(case)
+
+
+def test_tile_params_respect_vmem_budget():
+    """Regression for the coupled+w scoped-vmem OOM: the any-integer tj
+    search must keep the MEASURED per-tile footprint under the raised
+    limit.  The with_w stream count is calibrated off a compile-reported
+    allocation (67.58 MiB at tj=10/I=516/K=50 under a 56-stream model),
+    so the modeled footprint of the returned tile, at the measured
+    streams, must fit the limit it will be compiled under."""
+    from wrf_tpu.ops.advance_mu_t_pallas import (
+        SHARDED_VMEM_LIMIT, sharded_tile_params)
+
+    for ni_loc, streams in [(512, 44), (512, 68), (1500, 44), (1500, 68)]:
+        tj, limit = sharded_tile_params(50, ni_loc, streams=streams)
+        assert limit == SHARDED_VMEM_LIMIT  # wide-I: raised limit in use
+        footprint = tj * 4 * (ni_loc + 2) * (streams * 50 + 40)
+        assert footprint <= SHARDED_VMEM_LIMIT, (ni_loc, streams, tj)
+
+    # the validated coupled+w bench configuration: tj=8 at 512-wide
+    tj, _ = sharded_tile_params(50, 512, streams=68)
+    assert tj == 8
+
+    # narrow-I shapes (e.g. the 74-wide reference grid) must never get an
+    # explicit limit (compiler-stack fault, see _compiler_params)
+    tj, limit = sharded_tile_params(32, 74, streams=44)
+    assert limit is None and tj >= 1

@@ -171,8 +171,13 @@ class SmallStepLoop:
             for name in F1:
                 padded[name] = arrs[name]
 
+            # with_w stream count is MEASURED, not modeled: at 512x512x50
+            # the compiler reported 67.58 MiB of scoped vmem for the tile a
+            # 56-stream model picked (tj=10, I=516) => ~68 effective
+            # (1,K,I)-row streams; 68 lands the budget search back on the
+            # validated tj=8 (1.60 ms/substep)
             tj_loc, vmem_limit = sharded_tile_params(
-                K, ni_loc, tj, streams=56 if with_w else 44)
+                K, ni_loc, tj, streams=68 if with_w else 44)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in F3:

@@ -428,7 +428,9 @@ def _pick_tj(K: int, I: int, budget: int = 15 * 2**20,
     scoped-VMEM ``budget`` (default: Mosaic's 16 MiB default limit minus
     slack).  The per-tj cost model matches Mosaic's observed accounting
     (``streams`` double-buffered (1,K,I)-row streams + scratch + thin 2-D
-    streams: ~44 for the plain substep, ~56 with the fused w solve).
+    streams: ~44 for the plain substep, ~68 with the fused w solve —
+    the latter measured off a compile-reported scoped allocation, not
+    modeled: 67.58 MiB at tj=10/I=516/K=50).
     Non-power-of-two tiles are fine — the wrappers pad (J-2) up to a tj
     multiple — and they matter: at 512-wide/K=50 the default budget fits
     tj=3 but not tj=4, and tj=3 measures ~4% off the raised-limit tj=8
