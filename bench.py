@@ -23,11 +23,14 @@ readback does, costing a ~30 ms round trip.  So each config is timed as the
 forcing execution: per_step = (T(n2) - T(n1)) / (n2 - n1).  This cancels
 dispatch latency, compile-cache effects and the readback, and (like the
 reference's timed window, advance_mu_t_no_async.cu:324-363) excludes host
-transfers.  CONUS compiles take ~250-300 s per loop build, so that config
-uses a single-compile marginal protocol instead: m=1 vs m=3 chained
-dispatches of the one compiled loop, (T(3)-T(1))/(2*steps) — the chip
-executes enqueued programs in order, so the difference is pure device
-compute with the same constant-cancellation as the two-build method.
+transfers.  A single-compile chained-dispatch protocol (m=1 vs m=3 calls
+of one compiled loop) was tried for the compile-expensive CONUS config
+and rejected: it measures per-INVOCATION cost, which includes the loop's
+real prologue/epilogue (halo-padding every field, output trimming, the
+final substep's extra streams — ~100 ms at CONUS size, +15% apparent),
+not the per-substep cost the other configs report.  So CONUS uses the
+same two-build marginal with smaller step counts (20, 80); its second
+build mostly reuses the first's Mosaic kernel compile.
 """
 
 from __future__ import annotations
@@ -84,46 +87,6 @@ def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
     return (times[n2] - times[n1]) / (n2 - n1)
 
 
-def bench_single_compile(mesh, case, nx, ny, nz, *, steps, repeats=3,
-                         coupled=False, with_w=False):
-    """per-step seconds with ONE loop build (for compile-expensive configs),
-    marginal between m=1 and m=3 chained dispatches of the compiled loop.
-
-    The single chip executes enqueued programs in dispatch order, so
-    T(m=3) - T(m=1) = 2*steps of pure device compute — the readback
-    round-trip, per-call dispatch, and warmup constants all cancel, same
-    cancellation property as the two-build marginal method but without
-    paying a second ~300 s CONUS compile."""
-    from wrf_tpu.models.small_step import SmallStepLoop
-    from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
-
-    if coupled:
-        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                             with_w=with_w)
-        arrays = loop.prepare(case_to_domain(case, with_w=with_w))
-    else:
-        loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
-                                 n_steps=steps, vary_winds=True)
-        arrays = loop.prepare(case_to_domain(case))
-    scalars = (case.rdx, case.rdy, case.dts, case.epssm)
-
-    def run_m(m):
-        out = None
-        for _ in range(m):
-            out = loop(arrays, *scalars)
-        return float(jnp.sum(out["t"][:, 0, :]) + jnp.sum(out["mu"]))
-
-    checksum = run_m(1)  # compile + warm up (also proves non-NaN execution)
-    assert np.isfinite(checksum), "non-finite checksum"
-    times = {}
-    for m in (1, 3):
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            run_m(m)
-            best = min(best, time.perf_counter() - t0)
-        times[m] = best
-    return (times[3] - times[1]) / (2 * steps)
 
 
 def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:
@@ -148,29 +111,25 @@ def main():
     mesh = make_mesh([jax.devices()[0]], (1, 1))
 
     specs = [
-        # (name, nx, ny, nz, coupled, with_w, marginal?)
-        ("mu_t 512x512x50", 512, 512, 50, False, False, True),
-        ("coupled 512x512x50", 512, 512, 50, True, False, True),
-        ("coupled+w 512x512x50", 512, 512, 50, True, True, True),
-        ("coupled CONUS 1500x1500x50", 1500, 1500, 50, True, False, False),
+        # (name, nx, ny, nz, coupled, with_w, (n1, n2))
+        ("mu_t 512x512x50", 512, 512, 50, False, False, (50, 250)),
+        ("coupled 512x512x50", 512, 512, 50, True, False, (50, 250)),
+        ("coupled+w 512x512x50", 512, 512, 50, True, True, (50, 250)),
+        ("coupled CONUS 1500x1500x50", 1500, 1500, 50, True, False, (20, 80)),
     ]
     records = []
-    for name, nx, ny, nz, coupled, with_w, marg in specs:
+    for name, nx, ny, nz, coupled, with_w, (n1, n2) in specs:
         case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
         pts = nx * ny * nz
         try:
-            if marg:
-                per = bench_marginal(mesh, case, nx, ny, nz, n1=50, n2=250,
-                                     coupled=coupled, with_w=with_w)
-            else:
-                per = bench_single_compile(mesh, case, nx, ny, nz, steps=80,
-                                           coupled=coupled, with_w=with_w)
+            per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
+                                 coupled=coupled, with_w=with_w)
             records.append({
                 "config": name,
                 "ms_per_step": round(per * 1e3, 4),
                 "gpts_per_s": round(pts / per),
                 "vs_baseline": round(pts / per / REFERENCE_GPS, 3),
-                "method": "marginal" if marg else "single-compile",
+                "method": "marginal",
             })
         except Exception as e:  # keep earlier records if a config fails
             records.append({"config": name, "error": f"{type(e).__name__}: {e}"})
