@@ -23,6 +23,8 @@ from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
 
 def run_loop(cls, mesh, case, nx, ny, nz, steps, tj, **kw):
+    if "--bf16" in sys.argv:
+        kw = {**kw, "const_dtype": jnp.bfloat16}
     loop = cls(mesh, nx, ny, nz, case.flags, n_steps=steps, tj=tj, **kw)
     arrays = loop.prepare(case_to_domain(case, with_w=True)
                           if kw.get("with_w") else case_to_domain(case))

@@ -114,7 +114,8 @@ class SmallStepLoop:
                  cw: float = DEFAULT_CW, gw: float = DEFAULT_GW,
                  smdiv: float = 0.0, halo_backend: str = "ppermute",
                  force_exchange: bool = False,
-                 tj: int | None = None, interpret: bool | None = None):
+                 tj: int | None = None, interpret: bool | None = None,
+                 const_dtype=None):
         """``halo_backend``: "ppermute" (XLA collectives; default) or
         "rdma" (Pallas ``make_async_remote_copy`` ring exchange along the
         j mesh axis, MESH-coordinate addressed — i-axis refreshes stay on
@@ -129,6 +130,8 @@ class SmallStepLoop:
         multi-chip run and the two backends can be diffed on hardware."""
         if halo_backend not in ("ppermute", "rdma"):
             raise ValueError(f"bad halo_backend {halo_backend!r}")
+        if const_dtype is not None and kernel != "pallas":
+            raise ValueError("const_dtype requires the pallas kernel")
         self._force_exchange = force_exchange
         self.mesh = mesh
         self.domain = (nx, ny, nz)
@@ -194,6 +197,16 @@ class SmallStepLoop:
             if kernel == "pallas":
                 lean_kw = lean_kwargs(padded, scalars["rdx"],
                                       scalars["rdy"], scalars["dts"], k0, k1)
+                if const_dtype is not None:
+                    # reduced-precision constant streams (see the kernel's
+                    # _ingest3): cast ONCE per invocation, outside the
+                    # scan.  u/v are carried state here (fuse_uv) and stay
+                    # f32; only the never-written 3-D bases narrow.
+                    for n in ("u_1", "v_1", "ww_1", "ft", "t_1"):
+                        padded[n] = padded[n].astype(const_dtype)
+                    lean_kw = {k: (v.astype(const_dtype) if v.ndim == 3
+                                   else v)
+                               for k, v in lean_kw.items()}
 
                 def fused_step(ins, with_tave, ww_mode):
                     lean = ww_mode == "lite"

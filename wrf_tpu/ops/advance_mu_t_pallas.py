@@ -201,9 +201,14 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             return lo_row
         return jnp.concatenate([lo_row, center[:-1]], axis=0)
 
-    u = u_ref[:]
-    v = v_ref[:]
-    t1 = t1_ref[:]
+    # constant streams may ride HBM as bf16 (see the wrapper's _ingest3);
+    # all arithmetic is f32 — upcast on load (free on f32 refs)
+    def _ld(ref):
+        return ref[:].astype(F)
+
+    u = _ld(u_ref)
+    v = _ld(v_ref)
+    t1 = _ld(t1_ref)
     mu = mu_ref[:]
     if has_wscale:
         wscale = scal_ref[0, 4]
@@ -213,7 +218,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     muu_over_msfuy = muu_ref[:] / msfuy_ref[:]        # (TJ, 1, I)
     muv_msfvxi = muv_ref[:] * msfvxi_ref[:]           # (TJ, 1, I)
     muv_msfvxi_hi = muv_hi_ref[:] * msfvxi_hi_ref[:]  # (1, 1, I)
-    v_hi = v_hi_ref[:] if not has_wscale else v_hi_ref[:] * scal_ref[0, 4]
+    v_hi = _ld(v_hi_ref) if not has_wscale else _ld(v_hi_ref) * scal_ref[0, 4]
 
     # ---- fused wind substep (advance_uv, ops/advance_uv.py) -----------
     # p = cs2*mu'; u += dts*(muu/msfuy)*(-rdx)*(p - p(i-1));
@@ -254,14 +259,14 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     msft2 = msftx_ref[:] * msfty_ref[:]
     if lean:
         v_p = shift_up(v, v_hi)
-        dvdxi = dvdxic_ref[:] + msft2 * (
+        dvdxi = _ld(dvdxic_ref) + msft2 * (
             rdy * (v_p - v) + rdx * (roll_i(u, -1) - u)
         )
     else:
-        vflux = v + muv_msfvxi * v1_ref[:]
-        vflux_b = v_hi + muv_msfvxi_hi * v1_hi_ref[:]
+        vflux = v + muv_msfvxi * _ld(v1_ref)
+        vflux_b = v_hi + muv_msfvxi_hi * _ld(v1_hi_ref)
         vflux_p = shift_up(vflux, vflux_b)
-        uflux = u + muu_over_msfuy * u1_ref[:]
+        uflux = u + muu_over_msfuy * _ld(u1_ref)
         dvdxi = msft2 * (
             rdy * (vflux_p - vflux) + rdx * (roll_i(uflux, -1) - uflux)
         )  # (TJ, K, I)
@@ -314,12 +319,13 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         # the carry is the seed row R = ww_new(k0) = seed - ww_1(k0).
         # In lean mode the -ww_1 part of the theta flux lives in tconst,
         # so ww_new here is the RAW scan value S.
-        ww1k0 = (ww1k0_ref[:] if lean else ww1_ref[:, k0 : k0 + 1, :])
-        sub = F(0.0) if lean else ww1_ref[:]
+        ww1k0 = (ww1k0_ref[:] if lean
+                 else ww1_ref[:, k0 : k0 + 1, :].astype(F))
+        sub = F(0.0) if lean else _ld(ww1_ref)
         ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - sub, F(0.0))
         wwrow_out[:] = jnp.where(mask, seed - ww1k0, seed)
     else:
-        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - ww1_ref[:],
+        ww_new = jnp.where(kmask_upd & mask, scan_ref[:] - _ld(ww1_ref),
                            ww_ref[:])
         ww_out[:] = ww_new
 
@@ -337,7 +343,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # ---- Phase B: theta ------------------------------------------------
     t = t_ref[:]
     msfty = msfty_ref[:]
-    t_half = (t + tconst_ref[:]) if lean else (t + (msfty * dts) * ft_ref[:])
+    t_half = (t + _ld(tconst_ref)) if lean else (t + (msfty * dts) * _ld(ft_ref))
     if with_tave:
         tave_out[:] = jnp.where(kmask_upd & mask, t, tave_ref[:])
 
@@ -348,8 +354,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     wdtn = jnp.where(_k_range_mask(K, k0 + 1, k1 + 1), wdtn, F(0.0))
     vert = rdnw_ref[:].reshape(1, K, 1) * (roll_k(wdtn, -1) - wdtn)
 
-    t1_jp = shift_up(t1, t1_hi_ref[:])
-    t1_jm = shift_down(t1, t1_lo_ref[:])
+    t1_jp = shift_up(t1, _ld(t1_hi_ref))
+    t1_jm = shift_down(t1, _ld(t1_lo_ref))
     v_jp = shift_up(v, v_hi)
     fy = v_jp * (t1_jp + t1) - v * (t1 + t1_jm)
     fx = roll_i(u, -1) * (roll_i(t1, -1) + t1) - u * (t1 + roll_i(t1, 1))
@@ -658,7 +664,27 @@ def advance_mu_t_pallas(
         names3.append("ft")
         arrs3.append(ft)
 
-    f3 = [jnp.asarray(a, F) for a in arrs3]
+    # Reduced-precision constant streams: a read-only 3-D operand arriving
+    # as bf16 KEEPS bf16 through HBM (the kernel upcasts on load) — the
+    # loop is HBM-bound, so halving a constant stream's width buys its
+    # full share of the step time.  Only never-written, never-aliased
+    # operands are eligible; everything else is forced to f32.  State and
+    # outputs are always f32 — bf16 would quantize away small increments.
+    const_ok = {"t_1", "tconst", "dvdxi_const", "ww_1", "u_1", "v_1", "ft"}
+    if not fuse_uv:
+        const_ok |= {"u", "v"}   # read-only winds (wind_scale path)
+
+    def _ingest3(name, a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bfloat16:
+            if name not in const_ok:
+                raise ValueError(
+                    f"bf16 {name!r} is not a constant stream here "
+                    f"(state/aliased operands must be f32)")
+            return a
+        return a.astype(F)
+
+    f3 = [_ingest3(n, a) for n, a in zip(names3, arrs3)]
     f2 = [jnp.asarray(a, F)[:, None, :]
           for a in (mu, mut, muu, muv, mu_tend, msfuy, msfvx_inv, msftx, msfty)]
     if padj:

@@ -106,7 +106,10 @@ class ShardedAdvanceMuT:
     def __init__(self, mesh: Mesh, nx: int, ny: int, nz: int,
                  flags: ConfigFlags, n_steps: int = 1,
                  kernel: str = "pallas", vary_winds: bool = False,
-                 tj: int | None = None, interpret: bool | None = None):
+                 tj: int | None = None, interpret: bool | None = None,
+                 const_dtype=None):
+        if const_dtype is not None and kernel != "pallas":
+            raise ValueError("const_dtype requires the pallas kernel")
         self.mesh = mesh
         self.flags = flags
         self.domain = (nx, ny, nz)
@@ -162,6 +165,16 @@ class ShardedAdvanceMuT:
             if kernel == "pallas":
                 lean_kw = lean_kwargs(padded, scalars["rdx"],
                                       scalars["rdy"], scalars["dts"], k0, k1)
+                if const_dtype is not None:
+                    # reduced-precision constant streams (see the kernel's
+                    # _ingest3): cast ONCE per invocation, outside the
+                    # scan — u/v are read-only here (wind_scale path), so
+                    # every 3-D stream except the carried t is narrowed
+                    for n in ("u", "v", "u_1", "v_1", "ww_1", "ft", "t_1"):
+                        padded[n] = padded[n].astype(const_dtype)
+                    lean_kw = {k: (v.astype(const_dtype) if v.ndim == 3
+                                   and k != "ww1_k0" else v)
+                               for k, v in lean_kw.items()}
 
                 def step_fn(ins, wscale, with_tave=True, ww_mode="full"):
                     lean = ww_mode == "lite"
