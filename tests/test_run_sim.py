@@ -72,3 +72,20 @@ def test_run_sim_checkpoint_resume(tmp_path, small_case, capsys):
     for name in ("ww", "mu", "t", "u", "v"):
         np.testing.assert_array_equal(resumed[name], straight[name],
                                       err_msg=name)
+
+
+def test_run_sim_bf16_precision(tmp_path, small_case, capsys):
+    """--precision bf16-const runs end-to-end and stays close to f32."""
+    d = _fixture(tmp_path, small_case, calm=True)
+    rc = run_sim.main([d, "--steps", "1", "--checkpoint-dir",
+                       str(tmp_path / "ck32")])
+    assert rc == 0
+    rc = run_sim.main([d, "--steps", "1", "--precision", "bf16-const",
+                       "--checkpoint-dir", str(tmp_path / "ckbf")])
+    assert rc == 0
+    f32, _, _ = checkpoint.load_checkpoint(tmp_path / "ck32" / "step_000001")
+    bf, _, _ = checkpoint.load_checkpoint(tmp_path / "ckbf" / "step_000001")
+    for name in ("t", "mu", "ww"):
+        scale = np.max(np.abs(f32[name])) or 1.0
+        err = np.max(np.abs(f32[name] - bf[name]))
+        assert err <= 2e-2 * scale, (name, err, scale)

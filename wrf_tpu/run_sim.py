@@ -50,6 +50,13 @@ def main(argv=None) -> int:
     p.add_argument("--with-w", action="store_true",
                    help="include the vertically-implicit w/pp substep")
     p.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--precision", default="f32",
+                   choices=["f32", "bf16-const"],
+                   help="bf16-const narrows the never-written 3-D bases "
+                        "(t_1/u_1/v_1/ww_1/ft and the lean constants) to "
+                        "bf16 in HBM — the loop is bandwidth-bound, so "
+                        "this trades ~0.4%% forcing-proportional error "
+                        "for throughput (state/outputs stay f32)")
     p.add_argument("--closure", default="none", choices=["none", "nudge"],
                    help="slow-forcing closure: 'nudge' holds the *_1 "
                         "advecting fields at the base state and recomputes "
@@ -98,12 +105,16 @@ def main(argv=None) -> int:
         mesh_shape,
     )
     nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
+    import jax.numpy as _jnp
     rk3 = RK3Integrator(mesh, nx, ny, nz, flags,
                         acoustic_steps=dyn["acoustic_steps"],
                         kernel=args.kernel, with_w=args.with_w,
                         smdiv=dyn["smdiv"],
                         snapshot="base" if args.closure == "nudge"
-                        else "stage")
+                        else "stage",
+                        const_dtype=(_jnp.bfloat16
+                                     if args.precision == "bf16-const"
+                                     else None))
 
     dom = case_to_domain(case, with_w=args.with_w)
     start_step = 0
