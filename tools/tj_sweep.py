@@ -79,6 +79,15 @@ def main():
         i = args.index("--grid")
         nx, ny, nz = int(args[i + 1]), int(args[i + 2]), int(args[i + 3])
 
+    # MEASURED OUTCOME (2026-08-17, v5e): (12, 64M) ran clean at 0.781
+    # ms/substep — the production default.  The next rung, (14, 72M),
+    # hard-faulted the worker (down for over an hour, far beyond the
+    # usual 1-3 min restart), consistent with the narrow-shape
+    # vmem-limit fault class (tools/vmem_probe.py): limits above 64 MiB
+    # are fault territory on this compiler stack even in the wide-lane
+    # measured-safe region.  64 MiB is therefore the measured ceiling;
+    # the larger entries below are kept for re-probing after a stack
+    # change — run them LAST and expect to lose the worker.
     matrix = [
         (12, 64 * MIB),    # current default pick — same-session baseline
         (14, 72 * MIB),
