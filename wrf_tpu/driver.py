@@ -46,9 +46,16 @@ GOLDEN_FILES = {
 RTOL = 1e-4
 ATOL_SCALE = 1e-5
 
+#: acceptance for --precision bf16-const: the documented contract of the
+#: reduced-precision constant-stream mode (tests/test_bf16.py) — outputs
+#: within 2e-2 of field scale of the f32 loop over O(10) substeps
+BF16_RTOL = 2e-2
+BF16_ATOL_SCALE = 2e-2
+
 
 def run_tier(case, steps: int, tier: str, mesh_shape=None,
-             capture: bool = False, with_w: bool = False):
+             capture: bool = False, with_w: bool = False,
+             const_dtype=None):
     """Run `steps` small steps on the chosen tier; returns
     ``(outputs, seconds, golden_override)`` — ``golden_override`` is None
     for tiers verified against the fixture goldens, or the in-process
@@ -109,7 +116,8 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
         from .parallel.sharded import embed_outputs
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                             kernel=kernel, with_w=with_w)
+                             kernel=kernel, with_w=with_w,
+                             const_dtype=const_dtype)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
         warm = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         np.asarray(warm["t"])  # sync: the warmup run must finish before t0
@@ -188,7 +196,8 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         )
         nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
         step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
-                                 n_steps=steps, kernel=kernel)
+                                 n_steps=steps, kernel=kernel,
+                                 const_dtype=const_dtype)
         from .parallel.sharded import embed_outputs
         arrays = step.prepare(case_to_domain(case))
         warm = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)  # compile
@@ -219,7 +228,19 @@ def main(argv=None) -> int:
     p.add_argument("--dump-intermediates", default=None, metavar="DIR",
                    help="write *_before_theta.bin phase-A captures of the "
                         "final substep (numpy, native, xla and pallas tiers)")
+    p.add_argument("--precision", default="f32",
+                   choices=["f32", "bf16-const"],
+                   help="bf16-const (sharded-pallas / coupled tiers): "
+                        "narrow the read-only 3-D bases to bf16 in HBM; "
+                        "acceptance relaxes to the mode's documented "
+                        "2e-2-of-scale contract")
     args = p.parse_args(argv)
+    if args.precision == "bf16-const":
+        if args.tier not in ("sharded-pallas", "coupled"):
+            p.error("--precision bf16-const applies to the pallas-kernel "
+                    "loop tiers (sharded-pallas, coupled)")
+        global RTOL, ATOL_SCALE
+        RTOL, ATOL_SCALE = BF16_RTOL, BF16_ATOL_SCALE
 
     case, fx_steps = fixtures.read_case(args.fixture_dir)
     steps = args.steps if args.steps is not None else fx_steps
@@ -263,9 +284,14 @@ def main(argv=None) -> int:
             print(f"FAILED: {failures} tier(s)")
         return 1 if failures else 0
 
-    out, dt, gold_override = run_tier(case, steps, args.tier, mesh_shape,
-                                      capture=bool(args.dump_intermediates),
-                                      with_w=args.with_w)
+    const_dtype = None
+    if args.precision == "bf16-const":
+        import jax.numpy as jnp
+        const_dtype = jnp.bfloat16
+    out, dt, gold_override = run_tier(
+        case, steps, args.tier, mesh_shape,
+        capture=bool(args.dump_intermediates), with_w=args.with_w,
+        const_dtype=const_dtype)
 
     if args.dump_intermediates:
         from pathlib import Path
