@@ -54,28 +54,30 @@ def _make_run(loop, arrays, scalars):
     return run
 
 
-def _build(mesh, case, nx, ny, nz, steps, coupled, with_w):
+def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False):
     from wrf_tpu.models.small_step import SmallStepLoop
     from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
+    cd = jnp.bfloat16 if bf16 else None
     if coupled:
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                             with_w=with_w)
+                             with_w=with_w, const_dtype=cd)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     else:
         loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
-                                 n_steps=steps, vary_winds=True)
+                                 n_steps=steps, vary_winds=True,
+                                 const_dtype=cd)
         arrays = loop.prepare(case_to_domain(case))
     return _make_run(loop, arrays,
                      (case.rdx, case.rdy, case.dts, case.epssm))
 
 
 def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
-                   coupled=False, with_w=False):
+                   coupled=False, with_w=False, bf16=False):
     """per-step seconds by the two-step-count difference method."""
     times = {}
     for steps in (n1, n2):
-        run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w)
+        run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16)
         checksum = run()  # compile + warm up (also proves non-NaN execution)
         assert np.isfinite(checksum), f"non-finite checksum at steps={steps}"
         best = float("inf")
@@ -103,38 +105,8 @@ def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:
     raise RuntimeError("TPU backend unhealthy after retries")
 
 
-def main():
-    from wrf_tpu.io import fixtures
-    from wrf_tpu.parallel.mesh import make_mesh
-
-    _wait_healthy()
-    mesh = make_mesh([jax.devices()[0]], (1, 1))
-
-    specs = [
-        # (name, nx, ny, nz, coupled, with_w, (n1, n2))
-        ("mu_t 512x512x50", 512, 512, 50, False, False, (50, 250)),
-        ("coupled 512x512x50", 512, 512, 50, True, False, (50, 250)),
-        ("coupled+w 512x512x50", 512, 512, 50, True, True, (50, 250)),
-        ("coupled CONUS 1500x1500x50", 1500, 1500, 50, True, False, (20, 80)),
-    ]
-    records = []
-    for name, nx, ny, nz, coupled, with_w, (n1, n2) in specs:
-        case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
-        pts = nx * ny * nz
-        try:
-            per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
-                                 coupled=coupled, with_w=with_w)
-            records.append({
-                "config": name,
-                "ms_per_step": round(per * 1e3, 4),
-                "gpts_per_s": round(pts / per),
-                "vs_baseline": round(pts / per / REFERENCE_GPS, 3),
-                "method": "marginal",
-            })
-        except Exception as e:  # keep earlier records if a config fails
-            records.append({"config": name, "error": f"{type(e).__name__}: {e}"})
-
-    head = records[0]
+def _emit(records):
+    head = records[0] if records else {}
     print(
         json.dumps(
             {
@@ -146,8 +118,69 @@ def main():
                 "ms_per_step": head.get("ms_per_step", 0),
                 "configs": records,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    import os
+    import signal
+
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.parallel.mesh import make_mesh
+
+    # the record line must survive an external kill (the whole matrix
+    # takes ~25 min incl. the CONUS compiles): emit what we have on
+    # SIGTERM, and stop starting new configs past the time budget
+    records = []
+
+    def _on_term(signum, frame):
+        records.append({"config": "(killed)", "error": f"signal {signum}"})
+        _emit(records)
+        raise SystemExit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    budget_s = float(os.environ.get("WRF_TPU_BENCH_BUDGET_S", 2700))
+    t_start = time.perf_counter()
+
+    _wait_healthy()
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+
+    specs = [
+        # (name, nx, ny, nz, coupled, with_w, bf16, (n1, n2))
+        ("mu_t 512x512x50", 512, 512, 50, False, False, False, (50, 250)),
+        ("coupled 512x512x50", 512, 512, 50, True, False, False, (50, 250)),
+        ("coupled+w 512x512x50", 512, 512, 50, True, True, False, (50, 250)),
+        ("coupled CONUS 1500x1500x50",
+         1500, 1500, 50, True, False, False, (20, 80)),
+        # opt-in reduced-precision constant streams (state/outputs f32)
+        ("mu_t 512x512x50 bf16-const",
+         512, 512, 50, False, False, True, (50, 250)),
+        ("coupled 512x512x50 bf16-const",
+         512, 512, 50, True, False, True, (50, 250)),
+    ]
+    for name, nx, ny, nz, coupled, with_w, bf16, (n1, n2) in specs:
+        if time.perf_counter() - t_start > budget_s:
+            records.append({"config": name, "skipped": "time budget"})
+            continue
+        case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+        pts = nx * ny * nz
+        try:
+            per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
+                                 coupled=coupled, with_w=with_w, bf16=bf16)
+            records.append({
+                "config": name,
+                "ms_per_step": round(per * 1e3, 4),
+                "gpts_per_s": round(pts / per),
+                "vs_baseline": round(pts / per / REFERENCE_GPS, 3),
+                "method": "marginal",
+            })
+        except Exception as e:  # keep earlier records if a config fails
+            records.append({"config": name,
+                            "error": f"{type(e).__name__}: {e}"[:300]})
+
+    _emit(records)
 
 
 if __name__ == "__main__":

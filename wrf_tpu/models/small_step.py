@@ -174,11 +174,16 @@ class SmallStepLoop:
             for name in F1:
                 padded[name] = arrs[name]
 
-            # with_w stream count is MEASURED, not modeled: at 512x512x50
-            # the compiler reported 67.58 MiB of scoped vmem for the tile a
-            # 56-stream model picked (tj=10, I=516) => ~68 effective
-            # (1,K,I)-row streams; 68 lands the budget search back on the
-            # validated tj=8 (1.60 ms/substep)
+            # Stream counts are MEASURED off compile-reported scoped-vmem
+            # sizes, not modeled: with_w 67.58 MiB @ tj=10 => ~68 row
+            # streams (tj=8, 1.54 ms); plain coupled 44.  bf16 constants
+            # keep the f32 accounting here: this loop's binding call is
+            # the FINAL (non-lean) substep, whose footprint shrinks far
+            # less than the scan substep's (measured: tj=16 OOMs at
+            # 69.29 MiB where a scan-substep model predicted 57.5), and
+            # Mosaic's accounting is non-linear in tj across the two
+            # calls — tj=12 is the measured-good bf16 configuration
+            # (0.931 ms/substep).
             tj_loc, vmem_limit = sharded_tile_params(
                 K, ni_loc, tj, streams=68 if with_w else 44)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0

@@ -147,8 +147,15 @@ class ShardedAdvanceMuT:
             for name in FIELDS_1D:
                 padded[name] = arrs[name]
 
-            # pallas wants (J-2) % tj == 0: pad once, outside the loop
-            tj_loc, vmem_limit = sharded_tile_params(K, ni_loc, tj)
+            # pallas wants (J-2) % tj == 0: pad once, outside the loop.
+            # bf16 constant streams halve most of the footprint: measured
+            # 68.09 MiB at tj=20/I=516/K=50 => ~32 effective row streams
+            # (vs 44 f32), which the budget search turns into tj~17
+            # (0.575-0.579 ms measured at tj=16/18 vs 0.603 at the f32
+            # accounting's tj=12)
+            tj_loc, vmem_limit = sharded_tile_params(
+                K, ni_loc, tj,
+                streams=32 if const_dtype is not None else 44)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in FIELDS_3D:
