@@ -32,13 +32,14 @@ def case():
 
 @pytest.mark.parametrize("cls,kw", [
     (SmallStepLoop, {}),
+    (SmallStepLoop, {"with_w": True}),
     (ShardedAdvanceMuT, {"vary_winds": True}),
 ])
 def test_bf16_const_streams_track_f32(case, cls, kw):
     nx, ny, nz = 40, 36, 12
     mesh = make_mesh(jax.devices()[:4], (2, 2))
     sc = (case.rdx, case.rdy, case.dts, case.epssm)
-    dom = case_to_domain(case)
+    dom = case_to_domain(case, with_w=kw.get("with_w", False))
 
     ref = cls(mesh, nx, ny, nz, case.flags, n_steps=6, **kw)
     out_f32 = ref(ref.prepare(dom), *sc)
@@ -47,7 +48,10 @@ def test_bf16_const_streams_track_f32(case, cls, kw):
     out_bf = lo(lo.prepare(dom), *sc)
 
     drifted = False
-    for n in ("t", "mu", "ww", "muts"):
+    fields = ("t", "mu", "ww", "muts")
+    if kw.get("with_w"):
+        fields += ("w", "pp")
+    for n in fields:
         a, b = np.asarray(out_f32[n]), np.asarray(out_bf[n])
         assert b.dtype == np.float32          # outputs stay f32
         assert np.isfinite(b).all()

@@ -256,27 +256,36 @@ def main(argv=None) -> int:
         tiers = ("numpy", "native", "xla", "pallas",
                  "sharded-xla", "sharded-pallas",
                  "coupled", "coupled-xla", "coupled-native",
-                 "coupled+w", "coupled-xla+w", "coupled-native+w")
+                 "coupled+w", "coupled-xla+w", "coupled-native+w",
+                 "sharded-pallas~bf16", "coupled~bf16")
         failures = 0
         for tier in tiers:
-            tier_w = tier.endswith("+w")
-            tname = tier[:-2] if tier_w else tier
+            tier_bf = tier.endswith("~bf16")
+            tname = tier[:-5] if tier_bf else tier
+            tier_w = tname.endswith("+w")
+            tname = tname[:-2] if tier_w else tname
+            cd = None
+            if tier_bf:
+                import jax.numpy as jnp
+                cd = jnp.bfloat16
             try:
                 out, dt, gold_ov = run_tier(case, steps, tname, mesh_shape,
-                                            with_w=tier_w)
+                                            with_w=tier_w, const_dtype=cd)
             except Exception as e:  # report, keep the matrix going
                 failures += 1
-                print(f"{tier:>16}: ERROR {type(e).__name__}: {e}")
+                print(f"{tier:>20}: ERROR {type(e).__name__}: {e}")
                 continue
             gold = gold_ov if gold_ov is not None else golden
             names = sorted(gold.keys() & out.keys()) if gold_ov is not None \
                 else list(GOLDEN_FILES)
-            results = [compare(out[n], gold[n], n, rtol=RTOL,
-                               atol_scale=ATOL_SCALE) for n in names]
+            rt, ats = ((BF16_RTOL, BF16_ATOL_SCALE) if tier_bf
+                       else (RTOL, ATOL_SCALE))
+            results = [compare(out[n], gold[n], n, rtol=rt,
+                               atol_scale=ats) for n in names]
             worst = max(results, key=lambda r: r.max_scaled_err)
             ok = all(r.passed for r in results)
             failures += 0 if ok else 1
-            print(f"{tier:>16}: {dt / steps * 1e3:9.3f} ms/step   "
+            print(f"{tier:>20}: {dt / steps * 1e3:9.3f} ms/step   "
                   f"worst field {worst.name}: max_abs={worst.max_abs_err:.3e}"
                   f" scaled_err={worst.max_scaled_err:.3f}   "
                   f"{'PASS' if ok else 'FAIL'}")
