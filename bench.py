@@ -91,10 +91,11 @@ def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
 
 
 
-def _wait_healthy(attempts: int = 10, pause: float = 20.0) -> None:
-    """The TPU relay worker takes 1-3 min to restart after a fault; gate
-    the benchmark on a trivial computation so a restart window does not
-    turn into a failed bench record."""
+def _wait_healthy(attempts: int = 40, pause: float = 30.0) -> None:
+    """The TPU relay worker takes 1-3 min to restart after a routine
+    fault — but a vmem-limit-class fault can keep it down for 45+ min
+    (measured), so the gate waits up to ~20 min before giving up rather
+    than turning a restart window into an empty round-end record."""
     for i in range(attempts):
         try:
             if float(jnp.ones((8, 128)).sum()) == 1024.0:
