@@ -89,3 +89,27 @@ def test_run_sim_bf16_precision(tmp_path, small_case, capsys):
         scale = np.max(np.abs(f32[name])) or 1.0
         err = np.max(np.abs(f32[name] - bf[name]))
         assert err <= 2e-2 * scale, (name, err, scale)
+
+
+def test_run_sim_steps_per_sync(tmp_path, small_case, capsys):
+    """--steps-per-sync K runs K large steps device-resident per launch;
+    the final checkpoint matches host stepping to a few ulp and the
+    per-step diagnostics series is still printed."""
+    d = _fixture(tmp_path, small_case, calm=True)
+    rc = run_sim.main([d, "--steps", "4", "--closure", "nudge",
+                       "--diagnostics",
+                       "--checkpoint-dir", str(tmp_path / "ck_host")])
+    assert rc == 0
+    rc = run_sim.main([d, "--steps", "4", "--closure", "nudge",
+                       "--diagnostics", "--steps-per-sync", "2",
+                       "--checkpoint-dir", str(tmp_path / "ck_fused")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "device-resident" in out
+    assert out.count("total dry mass") >= 8  # 4 host + 4 fused
+    host, _, _ = checkpoint.load_checkpoint(tmp_path / "ck_host" / "step_000004")
+    fused, _, _ = checkpoint.load_checkpoint(tmp_path / "ck_fused" / "step_000004")
+    for name in ("t", "mu", "u", "v", "ww"):
+        scale = np.max(np.abs(host[name])) or 1.0
+        np.testing.assert_allclose(fused[name], host[name], rtol=1e-6,
+                                   atol=1e-6 * scale, err_msg=name)

@@ -102,6 +102,85 @@ class RK3Integrator:
             out = loop(stage_arrays, rdx, rdy, dts, epssm)
         return out
 
+    #: large-step evolved state (written back into the ring interior
+    #: between steps; mirrors run_sim's merge)
+    _EVOLVED = ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")
+
+    def multi_step(self, arrays, n_steps: int, rdx, rdy, dt, epssm,
+                   tendency_fn: Callable | None = None):
+        """Run ``n_steps`` large steps DEVICE-RESIDENT: one ``lax.scan``
+        over the whole RK3 step (3 stage loops + evolved-state merge +
+        closure damping + in-graph diagnostics), so no host round trip
+        happens between large steps — the per-step readback/dispatch cost
+        that dominates host-stepped ``run_sim`` wall time disappears.
+
+        Returns ``(arrays, diags)``: the input dict with the evolved
+        fields advanced ``n_steps``, and a float32 ``(n_steps, 2)`` array
+        of per-step ``[sum(mu), sum(t[:, 0, :])]`` over the domain — the
+        mass-perturbation series (total dry mass = const ``sum(mut)`` +
+        this, summed in f64 by the caller) and a NaN-tripwire checksum.
+
+        The compiled program is cached per ``(n_steps, field set,
+        tendency_fn identity)``; a NudgingTendencies closure's reference
+        fields are passed as real arguments (not baked as constants), so
+        one compile serves any reference state of the same shapes."""
+        import jax
+        import jax.numpy as jnp
+
+        F32 = jnp.float32
+        evolved = tuple(k for k in self._EVOLVED if k in arrays)
+        nx, ny, _ = self.loops[0].domain
+        if not hasattr(self, "_ms_cache"):
+            self._ms_cache = {}
+        key = (n_steps, evolved, id(tendency_fn))
+
+        if key not in self._ms_cache:
+            def run(const, state0, refs, rdx, rdy, dt, epssm):
+                if tendency_fn is not None:
+                    tendency_fn.ref_t = refs["t"]
+                    tendency_fn.ref_mu = refs["mu"]
+
+                def body(state, _):
+                    out = self.step({**const, **state}, rdx, rdy, dt,
+                                    epssm, tendency_fn=tendency_fn)
+                    new = dict(state)
+                    for name in evolved:
+                        if name not in out:
+                            continue
+                        v = out[name]
+                        if v.ndim == 3:
+                            new[name] = state[name].at[
+                                1 : 1 + ny, :, 1 : 1 + nx].set(v)
+                        else:
+                            new[name] = state[name].at[
+                                1 : 1 + ny, 1 : 1 + nx].set(v)
+                    if tendency_fn is not None:
+                        tendency_fn.damp_winds(new)
+                    diag = jnp.stack([jnp.sum(out["mu"], dtype=F32),
+                                      jnp.sum(out["t"][:, 0, :], dtype=F32)])
+                    return new, diag
+
+                return jax.lax.scan(body, state0, length=n_steps)
+
+            self._ms_cache[key] = jax.jit(run)
+
+        const = {k: v for k, v in arrays.items() if k not in evolved}
+        state0 = {k: arrays[k] for k in evolved}
+        refs = ({"t": tendency_fn.ref_t, "mu": tendency_fn.ref_mu}
+                if tendency_fn is not None else {})
+        saved = ((tendency_fn.ref_t, tendency_fn.ref_mu)
+                 if tendency_fn is not None else None)
+        try:
+            state, diags = self._ms_cache[key](
+                const, state0, refs, F32(rdx), F32(rdy), F32(dt), F32(epssm))
+        finally:
+            if tendency_fn is not None:
+                # tracing rebinds the closure's refs/cache to tracers;
+                # restore concrete state for any later host-stepped use
+                tendency_fn.ref_t, tendency_fn.ref_mu = saved
+                tendency_fn._step_tend = None
+        return {**arrays, **state}, np.asarray(diags)
+
 
 def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
                cs2: float = DEFAULT_CS2, with_w: bool = False,

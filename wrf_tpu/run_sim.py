@@ -81,6 +81,13 @@ def main(argv=None) -> int:
                         "mass and its drift — advance_mu_t IS the mass-"
                         "conservation update, so drift beyond boundary "
                         "fluxes indicates trouble)")
+    p.add_argument("--steps-per-sync", type=int, default=1, metavar="K",
+                   help="device-resident large steps per host sync "
+                        "(RK3Integrator.multi_step): K>1 scans K whole "
+                        "large steps in ONE launch — no per-step "
+                        "readback/dispatch — with per-step mass "
+                        "diagnostics computed in-graph; checkpoints land "
+                        "on sync boundaries")
     args = p.parse_args(argv)
 
     import jax
@@ -200,6 +207,52 @@ def main(argv=None) -> int:
     prof = (jax.profiler.trace(args.profile) if args.profile
             else nullcontext())
     mass0 = None
+
+    if args.steps_per_sync > 1:
+        # device-resident mode: K large steps per launch, diagnostics as
+        # an in-graph time series (one readback per chunk).  Total dry
+        # mass = constant sum(mut) + the per-step mass-perturbation sum.
+        mut_sum = float(np.sum(
+            np.asarray(arrays["mut"])[1 : 1 + ny_d, 1 : 1 + nx_d],
+            dtype=np.float64))
+        with prof:
+            step = start_step
+            while step < start_step + args.steps:
+                n = min(args.steps_per_sync,
+                        start_step + args.steps - step)
+                t0 = time.perf_counter()
+                arrays, diags = rk3.multi_step(
+                    arrays, n, dyn["rdx"], dyn["rdy"], dt, dyn["epssm"],
+                    tendency_fn=tendency_fn)
+                dt_s = time.perf_counter() - t0
+                if not np.isfinite(diags).all():
+                    raise SystemExit(
+                        f"non-finite state within steps "
+                        f"{step + 1}-{step + n} (NaN tripwire); see "
+                        "--closure nudge for long horizons")
+                note = " (incl. compile)" if step == start_step else ""
+                print(f"steps {step + 1}-{step + n}: {dt_s * 1e3:.1f} ms "
+                      f"({dt_s / n * 1e3:.2f} ms/large-step, "
+                      f"device-resident){note}", flush=True)
+                if args.diagnostics:
+                    for i in range(n):
+                        pert = float(diags[i, 0])
+                        mass = mut_sum + pert
+                        if mass0 is None:
+                            mass0 = mass if mass else 1.0
+                        print(f"  step {step + i + 1}: total dry mass "
+                              f"{mass:.10e} "
+                              f"(drift {(mass - mass0) / abs(mass0):+.3e}),"
+                              f" mass perturbation sum {pert:+.6e}",
+                              flush=True)
+                step += n
+                if args.checkpoint_dir:
+                    d = checkpoint.save_checkpoint(
+                        f"{args.checkpoint_dir}/step_{step:06d}",
+                        snapshot(arrays), step=step)
+                    print(f"  checkpoint -> {d}", flush=True)
+        return 0
+
     with prof:
         for step in range(start_step, start_step + args.steps):
             t0 = time.perf_counter()
