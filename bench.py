@@ -91,23 +91,27 @@ def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
 
 
 
-def _wait_healthy(attempts: int = 40, pause: float = 30.0) -> None:
-    """The TPU relay worker takes 1-3 min to restart after a routine
-    fault — but a vmem-limit-class fault can keep it down for 45+ min
-    (measured), so the gate waits up to ~20 min before giving up rather
-    than turning a restart window into an empty round-end record."""
-    for i in range(attempts):
-        try:
-            if float(jnp.ones((8, 128)).sum()) == 1024.0:
-                return
-        except Exception:
-            pass
-        time.sleep(pause)
-    raise RuntimeError("TPU backend unhealthy after retries")
+def _wait_healthy() -> None:
+    """Gate the round-end record on relay health (shared tuning lives in
+    wrf_tpu.utils.health — a vmem-limit-class fault can keep the worker
+    down 45+ min, so the gate waits ~20 min)."""
+    from wrf_tpu.utils.health import wait_healthy_inline
+
+    wait_healthy_inline()
 
 
 def _emit(records):
-    head = records[0] if records else {}
+    # headline = THE config the metric string names (mu_t 512x512x50),
+    # never a different row; if it errored/was skipped, the headline
+    # reads value 0 with headline_error set rather than silently 0
+    head = next((r for r in records
+                 if r.get("config") == "mu_t 512x512x50"
+                 and r.get("gpts_per_s")), {})
+    extra = {}
+    if not head and records:
+        extra = {"headline_error":
+                 records[0].get("error", records[0].get("skipped",
+                                                        "missing"))}
     print(
         json.dumps(
             {
@@ -117,6 +121,7 @@ def _emit(records):
                 "unit": "grid-points/s",
                 "vs_baseline": head.get("vs_baseline", 0),
                 "ms_per_step": head.get("ms_per_step", 0),
+                **extra,
                 "configs": records,
             }
         ),

@@ -113,3 +113,27 @@ def test_run_sim_steps_per_sync(tmp_path, small_case, capsys):
         scale = np.max(np.abs(host[name])) or 1.0
         np.testing.assert_allclose(fused[name], host[name], rtol=1e-6,
                                    atol=1e-6 * scale, err_msg=name)
+
+
+def test_resume_nudge_reference_continuity(tmp_path, small_case, capsys):
+    """A resumed --closure nudge run must relax toward the run's ORIGINAL
+    base state, not the checkpointed state: 2 steps + resume 2 equals 4
+    straight steps bit-for-bit."""
+    d = _fixture(tmp_path, small_case, calm=True)
+    common = [d, "--closure", "nudge"]
+    rc = run_sim.main(common + ["--steps", "4", "--checkpoint-dir",
+                                str(tmp_path / "ck4")])
+    assert rc == 0
+    straight, _, _ = checkpoint.load_checkpoint(tmp_path / "ck4" / "step_000004")
+
+    ck = tmp_path / "ck_res"
+    rc = run_sim.main(common + ["--steps", "2", "--checkpoint-dir", str(ck)])
+    assert rc == 0
+    rc = run_sim.main(common + ["--steps", "2", "--checkpoint-dir", str(ck),
+                                "--resume"])
+    assert rc == 0
+    resumed, step, _ = checkpoint.load_checkpoint(ck / "step_000004")
+    assert step == 4
+    for name in ("t", "mu", "u", "v", "ww"):
+        np.testing.assert_array_equal(resumed[name], straight[name],
+                                      err_msg=name)

@@ -17,31 +17,14 @@ failure mode.  The winning (tj, limit) goes into
 import os
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MIB = 2**20
 
 
-def healthy(timeout=60):
-    r = subprocess.run(
-        [sys.executable, "-c",
-         "import jax.numpy as jnp;"
-         "assert float(jnp.ones((8,128)).sum())==1024.0"],
-        capture_output=True, timeout=timeout + 30)
-    return r.returncode == 0
-
-
-def wait_healthy(max_tries=12, pause=20):
-    for _ in range(max_tries):
-        try:
-            if healthy():
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        time.sleep(pause)
-    return False
+from wrf_tpu.utils.health import (healthy_subprocess as healthy,
+                                  wait_healthy_subprocess as wait_healthy)
 
 
 def run_config(loop, nx, ny, nz, tj, limit, timeout=900):

@@ -235,6 +235,10 @@ def main(argv=None) -> int:
                         "acceptance relaxes to the mode's documented "
                         "2e-2-of-scale contract")
     args = p.parse_args(argv)
+    if (args.dump_intermediates
+            and args.tier not in ("numpy", "native", "xla", "pallas")):
+        p.error("--dump-intermediates requires a capture-capable tier "
+                "(numpy, native, xla, pallas)")
     if args.precision == "bf16-const":
         if args.tier not in ("sharded-pallas", "coupled"):
             p.error("--precision bf16-const applies to the pallas-kernel "

@@ -103,8 +103,25 @@ class RK3Integrator:
         return out
 
     #: large-step evolved state (written back into the ring interior
-    #: between steps; mirrors run_sim's merge)
+    #: between steps; run_sim and multi_step share this list and
+    #: merge_evolved as the single source of truth)
     _EVOLVED = ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")
+
+    def merge_evolved(self, arrays, out):
+        """Fold ``out``'s domain-shaped evolved fields back into the
+        ring interiors of ``arrays`` (returns a new dict; works on full
+        prepared dicts and on evolved-only state dicts alike)."""
+        nx, ny, _ = self.loops[0].domain
+        new = dict(arrays)
+        for name in self._EVOLVED:
+            if name not in out or name not in arrays:
+                continue
+            v = out[name]
+            if v.ndim == 3:
+                new[name] = arrays[name].at[1 : 1 + ny, :, 1 : 1 + nx].set(v)
+            else:
+                new[name] = arrays[name].at[1 : 1 + ny, 1 : 1 + nx].set(v)
+        return new
 
     def multi_step(self, arrays, n_steps: int, rdx, rdy, dt, epssm,
                    tendency_fn: Callable | None = None):
@@ -117,8 +134,13 @@ class RK3Integrator:
         Returns ``(arrays, diags)``: the input dict with the evolved
         fields advanced ``n_steps``, and a float32 ``(n_steps, 2)`` array
         of per-step ``[sum(mu), sum(t[:, 0, :])]`` over the domain — the
-        mass-perturbation series (total dry mass = const ``sum(mut)`` +
-        this, summed in f64 by the caller) and a NaN-tripwire checksum.
+        mass-perturbation series and a NaN-tripwire checksum.  The
+        per-step sum itself is an in-graph f32 reduction (f64 is off on
+        TPU); the caller adds the constant ``sum(mut)`` in f64, so the
+        drift resolution is f32 quantization of the SMALL perturbation
+        sum (~1e-13 of total mass at bench scale), not of the total —
+        but the printed perturbation digits can differ from the
+        host-stepped path's f64 sums in the last few places.
 
         The compiled program is cached per ``(n_steps, field set,
         tendency_fn identity)``; a NudgingTendencies closure's reference
@@ -129,7 +151,6 @@ class RK3Integrator:
 
         F32 = jnp.float32
         evolved = tuple(k for k in self._EVOLVED if k in arrays)
-        nx, ny, _ = self.loops[0].domain
         if not hasattr(self, "_ms_cache"):
             self._ms_cache = {}
         key = (n_steps, evolved, id(tendency_fn))
@@ -143,17 +164,7 @@ class RK3Integrator:
                 def body(state, _):
                     out = self.step({**const, **state}, rdx, rdy, dt,
                                     epssm, tendency_fn=tendency_fn)
-                    new = dict(state)
-                    for name in evolved:
-                        if name not in out:
-                            continue
-                        v = out[name]
-                        if v.ndim == 3:
-                            new[name] = state[name].at[
-                                1 : 1 + ny, :, 1 : 1 + nx].set(v)
-                        else:
-                            new[name] = state[name].at[
-                                1 : 1 + ny, 1 : 1 + nx].set(v)
+                    new = self.merge_evolved(state, out)
                     if tendency_fn is not None:
                         tendency_fn.damp_winds(new)
                     diag = jnp.stack([jnp.sum(out["mu"], dtype=F32),

@@ -46,7 +46,11 @@ def initialize(**kwargs) -> None:
             raise
         msg = str(e).lower()
         if ("already initialized" not in msg
+                and "should only be called once" not in msg
                 and "before any jax calls" not in msg):
+            # "should only be called once" is jax 0.9's actual
+            # double-initialization wording; older releases said
+            # "already initialized"
             raise
     except ValueError:
         if kwargs:

@@ -37,7 +37,8 @@ from .parallel.sharded import case_to_domain
 
 
 #: ring-shaped fields the RK3 step evolves (superset; w/pp when --with-w)
-_EVOLVED = ("ww", "mu", "t", "t_ave", "u", "v", "w", "pp")
+#: the evolved large-step state — RK3Integrator is the source of truth
+_EVOLVED = RK3Integrator._EVOLVED
 
 
 def main(argv=None) -> int:
@@ -126,6 +127,11 @@ def main(argv=None) -> int:
     dom = case_to_domain(case, with_w=args.with_w)
     start_step = 0
     dom = {k: np.array(v, copy=True) for k, v in dom.items()}
+    # the nudging closure must relax toward the run's ORIGINAL base
+    # state; snapshot it before any checkpoint is folded in, or a
+    # resumed run would silently nudge toward the interrupted state
+    base_ref = {"t": np.array(dom["t"], copy=True),
+                "mu": np.array(dom["mu"], copy=True)}
     if args.resume and not args.checkpoint_dir:
         raise SystemExit("--resume requires --checkpoint-dir")
     if args.resume:
@@ -174,19 +180,21 @@ def main(argv=None) -> int:
         tendency_fn = NudgingTendencies(arrays, dt,
                                         tau_steps=args.tau_steps,
                                         rayleigh_uv=args.rayleigh_uv)
+        if start_step:
+            # resumed run: arrays hold the checkpointed state, so rebuild
+            # the relaxation reference from the pre-resume base snapshot
+            # (continuity with the uninterrupted run)
+            from .parallel.sharded import pad_to_mesh
+            lo = rk3.loops[0]
+            tendency_fn.ref_t = jax.device_put(
+                pad_to_mesh(base_ref["t"], lo.mesh), lo.shardings["t"])
+            tendency_fn.ref_mu = jax.device_put(
+                pad_to_mesh(base_ref["mu"], lo.mesh), lo.shardings["mu"])
 
     def advance(arrays):
         out = rk3.step(arrays, dyn["rdx"], dyn["rdy"], dt, dyn["epssm"],
                        tendency_fn=tendency_fn)
-        for name in _EVOLVED:
-            if name in out and name in arrays:
-                val = out[name]
-                if val.ndim == 3:
-                    arrays[name] = arrays[name].at[
-                        1 : 1 + ny_d, :, 1 : 1 + nx_d].set(val)
-                else:
-                    arrays[name] = arrays[name].at[
-                        1 : 1 + ny_d, 1 : 1 + nx_d].set(val)
+        arrays = rk3.merge_evolved(arrays, out)
         if tendency_fn is not None:
             tendency_fn.damp_winds(arrays)
         return arrays, out
@@ -246,7 +254,13 @@ def main(argv=None) -> int:
                               f" mass perturbation sum {pert:+.6e}",
                               flush=True)
                 step += n
-                if args.checkpoint_dir:
+                # --checkpoint-every is honoured at sync-boundary
+                # granularity: checkpoint when the chunk CROSSED a
+                # multiple of the interval (or at the end of the run)
+                crossed = (step // args.checkpoint_every
+                           > (step - n) // args.checkpoint_every)
+                final = step >= start_step + args.steps
+                if args.checkpoint_dir and (crossed or final):
                     d = checkpoint.save_checkpoint(
                         f"{args.checkpoint_dir}/step_{step:06d}",
                         snapshot(arrays), step=step)
