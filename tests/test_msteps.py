@@ -1,0 +1,121 @@
+"""Temporally-blocked scan kernel (ops/advance_mu_t_msteps.py).
+
+The blocked kernel must be bit-compatible with S sequential single-step
+lean/lite substeps (same arithmetic, same association — see the module
+docstring), so the loop-level checks here demand exact equality in
+interpret mode and the usual fp32 tolerances against the golden path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from wrf_tpu.io import fixtures
+from wrf_tpu.parallel.mesh import make_mesh
+from wrf_tpu.parallel.sharded import (
+    ShardedAdvanceMuT, case_to_domain, embed_outputs,
+)
+
+def _run(case, nx, ny, nz, mesh_shape, n_steps, inner_steps, **kw):
+    mesh = make_mesh(
+        jax.devices()[: mesh_shape[0] * mesh_shape[1]], mesh_shape)
+    loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags, n_steps=n_steps,
+                             vary_winds=True, inner_steps=inner_steps, **kw)
+    arrays = loop.prepare(case_to_domain(case))
+    return loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+
+
+@pytest.mark.parametrize("inner_steps,n_steps", [(2, 7), (4, 9), (3, 3)])
+def test_blocked_equals_single_step(inner_steps, n_steps):
+    """inner_steps>1 is bit-identical to the single-step scan (both paths
+    run the same per-substep arithmetic in the same association)."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run(case, nx, ny, nz, (1, 1), n_steps, 1)
+    blk = _run(case, nx, ny, nz, (1, 1), n_steps, inner_steps)
+    assert set(ref) == set(blk)
+    for k in sorted(ref):
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(blk[k]), err_msg=k)
+
+
+def test_blocked_on_mesh_matches_single_step_on_mesh():
+    """Under a 2x2 mesh the blocked scan is bit-identical to the
+    single-step scan ON THE SAME MESH (cross-mesh-shape comparisons are
+    only tolerance-close, as for every tier: XLA's shape-dependent FMA
+    contraction in the lean_constants precompute moves the last ulp)."""
+    nx, ny, nz = 48, 40, 10
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=11)
+    ref = _run(case, nx, ny, nz, (2, 2), 9, 1)
+    blk = _run(case, nx, ny, nz, (2, 2), 9, 4)
+    for k in sorted(ref):
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(blk[k]), err_msg=k)
+    one = _run(case, nx, ny, nz, (1, 1), 9, 4)
+    for k in sorted(one):
+        scale = max(np.max(np.abs(np.asarray(one[k]))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(blk[k]), np.asarray(one[k]),
+            rtol=2e-5, atol=1e-6 * scale, err_msg=k)
+
+
+def test_blocked_vs_golden():
+    """10 blocked substeps against the FP-order-exact numpy golden loop,
+    at the fp32 tolerances every device tier is held to."""
+    from wrf_tpu.ops.reference_numpy import advance_mu_t_numpy
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    n_steps = 10
+
+    kw = case.kernel_kwargs()
+    state = {k: np.asarray(kw[k]) for k in ("ww", "mu", "t", "t_ave")}
+    for n in range(n_steps):
+        ws = np.float32(1.0) + np.float32(1e-7) * np.float32(n)
+        out = advance_mu_t_numpy(**{**kw, **state,
+                                    "u": np.asarray(kw["u"]) * ws,
+                                    "v": np.asarray(kw["v"]) * ws})
+        state = {k: out[k] for k in ("ww", "mu", "t", "t_ave")}
+
+    got = _run(case, nx, ny, nz, (1, 1), n_steps, 5)
+    emb = embed_outputs(case, got)
+    for name in ("ww", "mu", "t", "t_ave", "muave", "muts", "mudf"):
+        scale = max(np.max(np.abs(out[name])), 1.0)
+        np.testing.assert_allclose(
+            emb[name], out[name], rtol=2e-5, atol=2e-6 * scale,
+            err_msg=name)
+
+
+def test_blocked_bf16_const():
+    """bf16 constant streams compose with blocking.  Unlike the f32 case
+    (bit-equal), the bf16 graphs differ from the single-step path by a
+    few last-place f32 roundings: the upcast converts shift XLA's fusion/
+    FMA-contraction boundaries between the two program shapes (verified:
+    phase A — mu, ww_row — stays bit-equal per substep; only theta's
+    multiply-accumulate chain moves by <=1 ulp/substep).  Gate at the
+    suite's element-wise fp32 acceptance (scaled atol covers near-zero mu
+    cells, where a 1e-6-of-scale diff is many ULP) — orders of magnitude
+    under the mode's documented ~0.5%% of scale quantization error
+    (tests/test_bf16.py)."""
+    import jax.numpy as jnp
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run(case, nx, ny, nz, (1, 1), 7, 1, const_dtype=jnp.bfloat16)
+    blk = _run(case, nx, ny, nz, (1, 1), 7, 3, const_dtype=jnp.bfloat16)
+    assert set(ref) == set(blk)
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_inner_steps_validation():
+    mesh = make_mesh(jax.devices()[:1], (1, 1))
+    case = fixtures.make_case(16, 12, 8, halo=3, seed=1)
+    with pytest.raises(ValueError):
+        ShardedAdvanceMuT(mesh, 16, 12, 8, case.flags, inner_steps=0)
+    with pytest.raises(ValueError):
+        ShardedAdvanceMuT(mesh, 16, 12, 8, case.flags, kernel="xla",
+                          inner_steps=2)

@@ -1,0 +1,321 @@
+"""Temporally-blocked advance_mu_t: S acoustic substeps per Pallas pass.
+
+The device-resident mu_t loop (parallel/sharded.py) is purely HBM-bound:
+ablating ALL in-kernel compute does not change the measured step time, so
+the only remaining lever is removing streams.  The single-substep scan
+kernel (advance_mu_t_pallas, lean+lite mode) already carries the minimum
+per-substep state — but it still re-reads every constant base field
+(u, v, t_1, tconst, dvdxi_const) from HBM on every substep.
+
+This kernel exploits the loop's dependency structure (SURVEY.md §3.4):
+consecutive mu_t substeps interact ONLY pointwise —
+
+  * t feeds the next substep at the same (i, k, j) (phase B reads t at
+    center only; all stencil neighbors are of the constant t_1 base),
+  * mu is updated pointwise (dmdt depends on winds, not mu),
+  * ww is consumed only through its k0 scan-seed row (lite mode), and
+  * the winds are read-only here, modelled per-substep by the wind_scale
+    ramp (the fused-wind feedback loop lives in models/small_step.py and
+    keeps the single-substep kernel).
+
+With no cross-column, cross-row coupling between substeps, a j-tile can
+run S whole substeps in VMEM before touching HBM again: constants stream
+once per S substeps instead of once per substep, and only the carried
+state (t; thin 2-D mu and the ww seed row) is written back.  This is
+classic temporal blocking, done the TPU way — no halo widening or
+trapezoid recompute is needed because the blocked loop has no spatial
+dependence at all.
+
+Per-substep HBM traffic (512x512x50, f32): single-step lean kernel moves
+~7 field-passes; this kernel moves ~(6 reads + 1 write)/S + 1 t-pass,
+i.e. ~2.5 passes at S=4.  The arithmetic per substep is IDENTICAL to the
+single-step kernel's lean path, term by term and in the same association
+(the per-step wind scale multiplies u/v elementwise before differencing,
+exactly as the single-step kernel scales on load), so the blocked loop is
+bit-compatible with S sequential single-step calls.
+
+Reference parity: same numerics as module_small_step_em.f90:140-248 via
+the lean folding documented in advance_mu_t_pallas.lean_constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .advance_mu_t_pallas import (
+    _compiler_params, _k_range_mask, _pick_tj, _row_view, _view,
+)
+
+F = jnp.float32
+
+
+def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
+            has_wscale: bool):
+    it = iter(refs)
+    scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, w0, dw
+    win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
+    # 3-D center views (TJ, K, I)
+    u_ref, v_ref, t_ref, t1_ref = next(it), next(it), next(it), next(it)
+    tconst_ref, dvdxic_ref = next(it), next(it)
+    # 3-D boundary rows (1, K, I)
+    v_hi_ref, t1_hi_ref, t1_lo_ref = next(it), next(it), next(it)
+    # 2-D center views (TJ, 1, I)
+    wwrow_ref, ww1k0_ref = next(it), next(it)
+    mu_ref, mutend_ref = next(it), next(it)
+    msftx_ref, msfty_ref = next(it), next(it)
+    # 1-D vertical vectors (1, K)
+    dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
+    # outputs
+    t_out, mu_out, wwrow_out = next(it), next(it), next(it)
+    scan_ref = next(it)   # (TJ, K, I) VMEM scratch: in-place ww scan
+
+    rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
+    dts = scal_ref[0, 2]
+    K = t1_ref.shape[1]
+    I = t1_ref.shape[2]
+
+    g = pl.program_id(0)
+    i_glob = jax.lax.broadcasted_iota(jnp.int32, (tj, 1, I), 2) + win_ref[0, 5]
+    j_glob = (jax.lax.broadcasted_iota(jnp.int32, (tj, 1, I), 0)
+              + win_ref[0, 4] + 1 + g * tj)
+    i0w, i1w = win_ref[0, 0], win_ref[0, 1]
+    j0w, j1w = win_ref[0, 2], win_ref[0, 3]
+    mask = ((i_glob >= i0w) & (i_glob <= i1w)
+            & (j_glob >= j0w) & (j_glob <= j1w))   # (TJ, 1, I)
+
+    def roll_i(x, shift):
+        return pltpu.roll(x, shift % I, 2)
+
+    def roll_k(x, shift):
+        return pltpu.roll(x, shift % K, 1)
+
+    def shift_up(center, hi_row):
+        if center.shape[0] == 1:
+            return hi_row
+        return jnp.concatenate([center[1:], hi_row], axis=0)
+
+    def shift_down(center, lo_row):
+        if center.shape[0] == 1:
+            return lo_row
+        return jnp.concatenate([lo_row, center[:-1]], axis=0)
+
+    def _ld(ref):   # constant streams may ride HBM as bf16; compute is f32
+        return ref[:].astype(F)
+
+    # ---- once-per-pass loads and invariants ---------------------------
+    u0 = _ld(u_ref)
+    v0 = _ld(v_ref)
+    v_hi0 = _ld(v_hi_ref)
+    t1 = _ld(t1_ref)
+    tconst = _ld(tconst_ref)
+    dvdxic = _ld(dvdxic_ref)
+    msft2 = msftx_ref[:] * msfty_ref[:]
+    inv_msfty = F(1.0) / msfty_ref[:]
+    dnw = dnw_ref[:].reshape(1, K, 1)
+    fnm = fnm_ref[:].reshape(1, K, 1)
+    fnp = fnp_ref[:].reshape(1, K, 1)
+    rdnw3 = rdnw_ref[:].reshape(1, K, 1)
+    # neighbor views of the constant theta base (phase B's only stencils)
+    t1_jp = shift_up(t1, _ld(t1_hi_ref))
+    t1_jm = shift_down(t1, _ld(t1_lo_ref))
+    t1_ip = roll_i(t1, -1)
+    t1_im = roll_i(t1, 1)
+    interp = fnm * t1 + fnp * roll_k(t1, 1)   # wdtn = ww * interp
+    kmask_upd = _k_range_mask(K, k0, k1 + 1)
+    kmask_w = _k_range_mask(K, k0 + 1, k1 + 1)
+    ww1k0 = ww1k0_ref[:]
+    mutend = mutend_ref[:]
+    msftx = msftx_ref[:]
+    msfty = msfty_ref[:]
+
+    # ---- carried state (lives in VMEM/registers across the S steps) ---
+    t_st = t_ref[:]
+    mu_st = mu_ref[:]
+    seed = wwrow_ref[:]
+
+    def scan_body(k, _):
+        scan_ref[:, pl.ds(k, 1), :] = (
+            scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
+        )
+        return 0
+
+    for s in range(n_inner):
+        # per-substep wind scale, multiplied elementwise BEFORE the flux
+        # differences — the same association as the single-step kernel's
+        # on-load scaling, so the blocked loop stays bit-compatible
+        if has_wscale:
+            ws = scal_ref[0, 4] + F(s) * scal_ref[0, 5]
+            u = u0 * ws
+            v = v0 * ws
+            v_hi = v_hi0 * ws
+        else:
+            u, v, v_hi = u0, v0, v_hi0
+
+        # Phase A: dynamic mass-flux divergence over the static fold
+        v_p = shift_up(v, v_hi)
+        dvdxi = dvdxic + msft2 * (
+            rdy * (v_p - v) + rdx * (roll_i(u, -1) - u)
+        )
+        dmdt = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi, F(0.0)),
+                       axis=1, keepdims=True)
+        tend = dmdt + mutend
+        mu_st = jnp.where(mask, mu_st + dts * tend, mu_st)
+
+        # ww vertical scan (k-ascending, in-place over scratch)
+        steps = (-dnw * (dmdt + dvdxi + mutend)) * inv_msfty
+        scan_ref[:] = roll_k(steps, 1)
+        scan_ref[:, k0 : k0 + 1, :] = seed
+        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        ww_new = jnp.where(kmask_upd & mask, scan_ref[:], F(0.0))
+        seed = jnp.where(mask, seed - ww1k0, seed)
+
+        # Phase B: theta
+        t_half = t_st + tconst
+        wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
+        vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
+        fy = v_p * (t1_jp + t1) - v * (t1 + t1_jm)
+        fx = roll_i(u, -1) * (t1_ip + t1) - u * (t1 + t1_im)
+        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
+        t_new = t_half - (dts * msfty) * (horiz + vert)
+        t_st = jnp.where(kmask_upd & mask, t_new, t_st)
+
+    t_out[:] = t_st
+    mu_out[:] = mu_st
+    wwrow_out[:] = seed
+
+
+def multistep_tile_params(K: int, ni_loc: int, tj: int | None = None,
+                          const_bf16: bool = False):
+    """(tj, vmem_limit) for the temporally-blocked kernel.
+
+    Reuses the single-step picker's measured-safe vmem-limit region
+    (see advance_mu_t_pallas.sharded_tile_params); the stream budget adds
+    the blocked loop's extra LIVE invariants (t1 neighbor views + interp
+    + dvdxi_const all stay resident across the S steps) on top of the
+    operand streams — start from the single-step accounting + 12 rows,
+    calibrated on-chip from compile-reported scoped sizes."""
+    from .advance_mu_t_pallas import sharded_tile_params
+
+    return sharded_tile_params(
+        K, ni_loc, tj, streams=44 if const_bf16 else 56)
+
+
+def advance_mu_t_multistep_pallas(
+    *,
+    u, v, t, t_1, tconst, dvdxi_const, ww1_k0, ww_row,
+    mu, mu_tend, msftx, msfty,
+    rdx, rdy, dts, epssm,
+    dnw, fnm, fnp, rdnw,
+    window, offsets=(0, 0),
+    k0: int, k1: int, kde: int,
+    n_inner: int = 2,
+    wind_scale0=1.0, wind_scale_step=0.0,
+    tj: int | None = None,
+    vmem_limit: int | None = None,
+    interpret: bool = False,
+):
+    """``n_inner`` lean/lite scan substeps fused into one Pallas pass.
+
+    Array contract matches ``advance_mu_t_pallas`` (3-D ``(J, K, I)``,
+    2-D ``(J, I)``, first/last j rows are ring rows) restricted to the
+    scan-substep configuration: lean constants precomputed
+    (``lean_constants``), lite ww carry, no t_ave.  Returns
+    ``{"t", "mu", "ww_row"}`` — exactly the state the surrounding scan
+    carries; the mid-scan-discarded 2-D diagnostics (muave/muts/mudf) are
+    not computed (they are re-derived by the FINAL single-step call).
+
+    The wind scale for inner step ``s`` is ``wind_scale0 + s *
+    wind_scale_step`` (both may be traced scalars), matching the
+    surrounding loop's per-substep ramp.
+    """
+    del epssm, kde  # unused by the scan substep; kept for API parity
+    J, K, I = jnp.shape(t)
+    if tj is None:
+        tj = _pick_tj(K, I, streams=56)
+    padj = (-(J - 2)) % tj
+
+    has_wscale = not (
+        isinstance(wind_scale0, (int, float)) and wind_scale0 == 1.0
+        and isinstance(wind_scale_step, (int, float)) and wind_scale_step == 0.0
+    )
+
+    const_ok = {"u", "v", "t_1", "tconst", "dvdxi_const"}
+
+    def _ingest3(name, a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bfloat16:
+            if name not in const_ok:
+                raise ValueError(f"bf16 {name!r} is not a constant stream")
+            return a
+        return a.astype(F)
+
+    names3 = ["u", "v", "t", "t_1", "tconst", "dvdxi_const"]
+    f3 = [_ingest3(n, a) for n, a in
+          zip(names3, (u, v, t, t_1, tconst, dvdxi_const))]
+    f2 = [jnp.asarray(a, F)[:, None, :]
+          for a in (ww_row, ww1_k0, mu, mu_tend, msftx, msfty)]
+    if padj:
+        f3 = [jnp.pad(a, ((0, padj), (0, 0), (0, 0))) for a in f3]
+        f2 = [jnp.pad(a, ((0, padj), (0, 0), (0, 0))) for a in f2]
+    Jp = J + padj
+    d3 = dict(zip(names3, f3))
+    kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
+
+    scal = jnp.stack([jnp.asarray(s, F) for s in
+                      (rdx, rdy, dts, 0.0, wind_scale0, wind_scale_step)
+                      ])[None, :]
+    i0, i1, j0, j1 = window
+    j_off, i_off = offsets
+    win = jnp.stack([jnp.asarray(x, jnp.int32)
+                     for x in (i0, i1, j0, j1, j_off, i_off)])[None, :]
+
+    c3 = _view(tj, K, I, 0)
+    c2 = _view(tj, 1, I, 0)
+    r3 = functools.partial(_row_view, tj, K, I)
+    sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    ssc = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = [ssc, swin]
+    in_specs += [c3] * 6                     # u, v, t, t_1, tconst, dvdxi_const
+    in_specs += [r3(tj), r3(tj), r3(-1)]     # v_hi, t1_hi, t1_lo
+    in_specs += [c2] * 6                     # ww_row, ww1_k0, mu, mu_tend, msftx, msfty
+    in_specs += [sk] * 4
+
+    operands = [scal, win, *f3,
+                d3["v"], d3["t_1"], d3["t_1"],
+                *f2, *kvecs]
+
+    big = jax.ShapeDtypeStruct((Jp, K, I), F)
+    thin = jax.ShapeDtypeStruct((Jp, 1, I), F)
+    out_specs = [c3, c2, c2]
+    out_shape = [big, thin, thin]
+
+    # aliases: t, mu and the seed row are read at center only — the grid
+    # pipeline can never observe a written row (see the single-step
+    # kernel's aliasing contract)
+    idx_t = 2 + names3.index("t")
+    idx_wwrow = 2 + 6 + 3
+    idx_mu = idx_wwrow + 2
+    aliases = {idx_t: 0, idx_mu: 1, idx_wwrow: 2}
+
+    kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
+                               n_inner=n_inner, has_wscale=has_wscale)
+    t_o, mu_o, wwrow_o = pl.pallas_call(
+        kernel,
+        grid=((Jp - 2) // tj,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)],
+        input_output_aliases=aliases,
+        compiler_params=_compiler_params(vmem_limit),
+        interpret=interpret,
+    )(*operands)
+
+    return {"t": t_o[:J], "mu": mu_o[:J, 0, :], "ww_row": wwrow_o[:J, 0, :]}

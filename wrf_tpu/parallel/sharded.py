@@ -46,6 +46,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..grid import ConfigFlags, GridBounds
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
+from ..ops.advance_mu_t_msteps import (
+    advance_mu_t_multistep_pallas, multistep_tile_params,
+)
 from ..ops.advance_mu_t_pallas import (
     advance_mu_t_pallas, lean_kwargs, sharded_tile_params,
 )
@@ -107,9 +110,19 @@ class ShardedAdvanceMuT:
                  flags: ConfigFlags, n_steps: int = 1,
                  kernel: str = "pallas", vary_winds: bool = False,
                  tj: int | None = None, interpret: bool | None = None,
-                 const_dtype=None):
+                 const_dtype=None, inner_steps: int = 1):
+        """``inner_steps`` > 1 temporally blocks the scan: blocks of S
+        substeps run as ONE fused Pallas pass (ops/advance_mu_t_msteps.py
+        — constants stream from HBM once per S substeps instead of once
+        per substep), with any remainder and the final substep on the
+        single-step kernel.  Pallas kernel only; bit-compatible with
+        ``inner_steps=1``."""
         if const_dtype is not None and kernel != "pallas":
             raise ValueError("const_dtype requires the pallas kernel")
+        if inner_steps < 1:
+            raise ValueError("inner_steps must be >= 1")
+        if inner_steps > 1 and kernel != "pallas":
+            raise ValueError("inner_steps requires the pallas kernel")
         self.mesh = mesh
         self.flags = flags
         self.domain = (nx, ny, nz)
@@ -153,9 +166,16 @@ class ShardedAdvanceMuT:
             # (vs 44 f32), which the budget search turns into tj~17
             # (0.575-0.579 ms measured at tj=16/18 vs 0.603 at the f32
             # accounting's tj=12)
-            tj_loc, vmem_limit = sharded_tile_params(
-                K, ni_loc, tj,
-                streams=32 if const_dtype is not None else 44)
+            if inner_steps > 1:
+                # one tj for BOTH kernels (the state is padded once,
+                # outside the scan) — the blocked kernel's larger live
+                # set sets the budget
+                tj_loc, vmem_limit = multistep_tile_params(
+                    K, ni_loc, tj, const_bf16=const_dtype is not None)
+            else:
+                tj_loc, vmem_limit = sharded_tile_params(
+                    K, ni_loc, tj,
+                    streams=32 if const_dtype is not None else 44)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in FIELDS_3D:
@@ -224,7 +244,38 @@ class ShardedAdvanceMuT:
                     return 1.0  # static: the kernel skips the multiply
                 return jnp.float32(1.0) + jnp.float32(1e-7) * n.astype(F)
 
-            if n_steps > 1:
+            state = state0
+            n_single0 = 0   # first substep index of the single-step tail
+            if n_steps > 1 and inner_steps > 1:
+                S = inner_steps
+                n_blocks = (n_steps - 1) // S
+
+                def block_body(state, b):
+                    out = advance_mu_t_multistep_pallas(
+                        u=const["u"], v=const["v"], t=state["t"],
+                        t_1=const["t_1"], tconst=lean_kw["tconst"],
+                        dvdxi_const=lean_kw["dvdxi_const"],
+                        ww1_k0=lean_kw["ww1_k0"],
+                        ww_row=state["ww_row"], mu=state["mu"],
+                        mu_tend=const["mu_tend"],
+                        msftx=const["msftx"], msfty=const["msfty"],
+                        **scalars,
+                        dnw=const["dnw"], fnm=const["fnm"],
+                        fnp=const["fnp"], rdnw=const["rdnw"],
+                        window=(i0, i1, j0, j1), offsets=(j_off, i_off),
+                        k0=k0, k1=k1, kde=nz - 1, n_inner=S,
+                        wind_scale0=wscale_at(b * S),
+                        wind_scale_step=(1e-7 if vary_winds else 0.0),
+                        tj=tj_loc, vmem_limit=vmem_limit,
+                        interpret=interpret,
+                    )
+                    return out, None
+
+                if n_blocks:
+                    state, _ = jax.lax.scan(
+                        block_body, state, jnp.arange(n_blocks))
+                n_single0 = n_blocks * S
+            if n_steps - 1 > n_single0:
                 def body(state, n):
                     out = step_fn({**const, **state}, wscale_at(n),
                                   with_tave=False,
@@ -232,9 +283,8 @@ class ShardedAdvanceMuT:
                                   else "full")
                     return {k: out[k] for k in carry_keys}, None
 
-                state, _ = jax.lax.scan(body, state0, jnp.arange(n_steps - 1))
-            else:
-                state = state0
+                state, _ = jax.lax.scan(
+                    body, state, jnp.arange(n_single0, n_steps - 1))
             out = step_fn({**const, **state},
                           wscale_at(jnp.asarray(n_steps - 1)),
                           ww_mode="final" if kernel == "pallas" else "full")
