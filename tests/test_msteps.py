@@ -119,3 +119,86 @@ def test_inner_steps_validation():
     with pytest.raises(ValueError):
         ShardedAdvanceMuT(mesh, 16, 12, 8, case.flags, kernel="xla",
                           inner_steps=2)
+
+
+# ------------------------------------------------------------------ #
+# Coupled (fuse_uv) two-step trapezoid blocking
+# ------------------------------------------------------------------ #
+def _run_coupled(case, nx, ny, nz, n_steps, inner_steps, **kw):
+    from wrf_tpu.models.small_step import SmallStepLoop
+
+    mesh = make_mesh(jax.devices()[:1], (1, 1))
+    loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=n_steps,
+                         inner_steps=inner_steps, **kw)
+    arrays = loop.prepare(case_to_domain(case))
+    return loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+
+
+@pytest.mark.parametrize("n_steps", [3, 8, 9])
+def test_coupled_blocked_vs_single(n_steps):
+    """Blocked coupled pairs vs the single-step fused scan.  NOT bit-
+    equal (unlike the mu_t-only blocking): the trapezoid kernel's
+    program shape moves XLA's FMA/fusion boundaries, so each substep
+    re-associates by <=2 ulp — gate at the fp32 tier tolerances."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run_coupled(case, nx, ny, nz, n_steps, 1)
+    blk = _run_coupled(case, nx, ny, nz, n_steps, 2)
+    assert set(ref) == set(blk)
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_coupled_blocked_vs_golden():
+    """10 blocked coupled substeps against the FP-order-exact numpy
+    golden loop (small_step_golden), at the standard tier tolerances."""
+    from wrf_tpu.models.small_step import small_step_golden
+    from wrf_tpu.parallel.sharded import embed_outputs
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    gold = small_step_golden(case, steps=10)
+    got = _run_coupled(case, nx, ny, nz, 10, 2)
+    emb = embed_outputs(case, got)
+    for name in ("ww", "mu", "t", "t_ave", "u", "v", "muave", "muts",
+                 "mudf"):
+        scale = max(np.max(np.abs(gold[name])), 1.0)
+        np.testing.assert_allclose(
+            emb[name], gold[name], rtol=2e-5, atol=2e-6 * scale,
+            err_msg=name)
+
+
+def test_coupled_blocked_bf16_const():
+    """bf16 constant streams compose with coupled blocking."""
+    import jax.numpy as jnp
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run_coupled(case, nx, ny, nz, 7, 1, const_dtype=jnp.bfloat16)
+    blk = _run_coupled(case, nx, ny, nz, 7, 2, const_dtype=jnp.bfloat16)
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_coupled_inner_steps_validation():
+    from wrf_tpu.models.small_step import SmallStepLoop
+
+    case = fixtures.make_case(16, 12, 8, halo=3, seed=1)
+    mesh1 = make_mesh(jax.devices()[:1], (1, 1))
+    with pytest.raises(ValueError):
+        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=3)
+    with pytest.raises(ValueError):
+        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
+                      with_w=True)
+    with pytest.raises(ValueError):
+        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
+                      smdiv=0.1)
+    mesh4 = make_mesh(jax.devices()[:4], (2, 2))
+    with pytest.raises(ValueError):
+        SmallStepLoop(mesh4, 16, 12, 8, case.flags, inner_steps=2)

@@ -35,6 +35,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..grid import ConfigFlags
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
+from ..ops.advance_mu_t_msteps import (
+    coupled_lean_kwargs, coupled_two_step_pallas,
+)
 from ..ops.advance_mu_t_pallas import (
     advance_mu_t_pallas, lean_kwargs, sharded_tile_params,
 )
@@ -115,7 +118,7 @@ class SmallStepLoop:
                  smdiv: float = 0.0, halo_backend: str = "ppermute",
                  force_exchange: bool = False,
                  tj: int | None = None, interpret: bool | None = None,
-                 const_dtype=None):
+                 const_dtype=None, inner_steps: int = 1):
         """``halo_backend``: "ppermute" (XLA collectives; default) or
         "rdma" (Pallas ``make_async_remote_copy`` ring exchange along the
         j mesh axis, MESH-coordinate addressed — i-axis refreshes stay on
@@ -132,6 +135,22 @@ class SmallStepLoop:
             raise ValueError(f"bad halo_backend {halo_backend!r}")
         if const_dtype is not None and kernel != "pallas":
             raise ValueError("const_dtype requires the pallas kernel")
+        if inner_steps not in (1, 2):
+            raise ValueError("inner_steps must be 1 or 2 for the coupled "
+                             "loop (the trapezoid kernel blocks pairs)")
+        if inner_steps > 1:
+            # the blocked kernel needs +-2 j rows of mu per pair; with a
+            # 1-cell exchanged ring that is only available single-shard
+            # (ring-2 exchange is the multi-chip extension point)
+            if kernel != "pallas":
+                raise ValueError("inner_steps requires the pallas kernel")
+            if with_w or smdiv:
+                raise ValueError("inner_steps=2 does not support with_w/"
+                                 "smdiv yet")
+            if (mesh.shape["j"] > 1 or mesh.shape["i"] > 1
+                    or force_exchange):
+                raise ValueError("inner_steps=2 requires a single-shard "
+                                 "mesh (1-cell halo ring)")
         self._force_exchange = force_exchange
         self.mesh = mesh
         self.domain = (nx, ny, nz)
@@ -184,8 +203,16 @@ class SmallStepLoop:
             # Mosaic's accounting is non-linear in tj across the two
             # calls — tj=12 is the measured-good bf16 configuration
             # (0.931 ms/substep).
-            tj_loc, vmem_limit = sharded_tile_params(
-                K, ni_loc, tj, streams=68 if with_w else 44)
+            if inner_steps > 1:
+                # blocked trapezoid kernel: both steps' extended-row live
+                # values are resident at once (calibrated on chip from
+                # compile-reported scoped sizes, like the others)
+                blk_streams = 60 if const_dtype is not None else 72
+                tj_loc, vmem_limit = sharded_tile_params(
+                    K, ni_loc, tj, streams=blk_streams)
+            else:
+                tj_loc, vmem_limit = sharded_tile_params(
+                    K, ni_loc, tj, streams=68 if with_w else 44)
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in F3:
@@ -381,13 +408,60 @@ class SmallStepLoop:
                         out = {**out, "w": w_n, "pp": pp_n}
                     return {k: out[k] for k in carry_keys}, out
 
-            if n_steps > 1:
+            state = state0
+            rem = n_steps - 1
+            if inner_steps > 1 and rem >= 2:
+                # ---- temporally-blocked pairs (trapezoid kernel) ------
+                # ring-2 padding once, outside the scan; constants padded
+                # alongside so every operand shares the (J2, ...) layout
+                n_blocks = rem // 2
+                cl_kw = coupled_lean_kwargs(
+                    padded, scalars["rdx"], scalars["rdy"], scalars["dts"])
+
+                def p3(x):
+                    return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+
+                def p2(x):
+                    return jnp.pad(x, ((1, 1), (0, 0)))
+
+                c2const = {
+                    "t_1": p3(padded["t_1"]),
+                    "tconst": p3(lean_kw["tconst"]),
+                    "dvdxi_const": p3(lean_kw["dvdxi_const"]),
+                    "ww1_k0": p2(lean_kw["ww1_k0"]),
+                    "mu_tend": p2(padded["mu_tend"]),
+                    "msftx": p2(padded["msftx"]),
+                    "msfty": p2(padded["msfty"]),
+                    "cu": p2(cl_kw["cu"]), "cv": p2(cl_kw["cv"]),
+                    "msft2": p2(cl_kw["msft2"]),
+                }
+                state2 = {k: (p3(v) if v.ndim == 3 else p2(v))
+                          for k, v in state.items()}
+
+                def block_body(st, _):
+                    out2 = coupled_two_step_pallas(
+                        u=st["u"], v=st["v"], t=st["t"], mu=st["mu"],
+                        ww_row=st["ww_row"], **c2const,
+                        rdx=scalars["rdx"], rdy=scalars["rdy"],
+                        dts=scalars["dts"], cs2=cs2,
+                        dnw=padded["dnw"], fnm=padded["fnm"],
+                        fnp=padded["fnp"], rdnw=padded["rdnw"],
+                        window=(i0, i1, j0, j1), offsets=offs,
+                        k0=k0, k1=k1, kde=nz - 1,
+                        tj=tj_loc, vmem_limit=vmem_limit,
+                        interpret=interpret,
+                    )
+                    return out2, None
+
+                state2, _ = jax.lax.scan(block_body, state2,
+                                         length=n_blocks)
+                state = {k: v[1:-1] for k, v in state2.items()}
+                rem -= n_blocks * 2
+            if rem > 0:
                 def body(state, _):
                     new_state, _out = substep(state, with_tave=False)
                     return new_state, None
-                state, _ = jax.lax.scan(body, state0, length=n_steps - 1)
-            else:
-                state = state0
+                state, _ = jax.lax.scan(body, state, length=rem)
             state, out = substep(state, final=True)
 
             res = {}

@@ -319,3 +319,350 @@ def advance_mu_t_multistep_pallas(
     )(*operands)
 
     return {"t": t_o[:J], "mu": mu_o[:J, 0, :], "ww_row": wwrow_o[:J, 0, :]}
+
+
+# --------------------------------------------------------------------- #
+# Coupled (fuse_uv) two-step blocking: trapezoidal j-tiles
+# --------------------------------------------------------------------- #
+#
+# The coupled substep's wind update feeds mass back into the winds, so —
+# unlike the mu_t-only loop above — consecutive substeps DO couple
+# spatially: substep s+1's winds at row j read substep s's mu at
+# j-1/j/j+1 (through p = cs2*mu), and its mass flux reads v at j+1.
+# Temporal blocking therefore takes the classic trapezoid form: each
+# tile computes step 1 on rows extended by one on each side (recompute
+# overlap with the neighboring tiles — compute is free, the loop is
+# HBM-bound), then step 2 on its own rows.  Input views widen to +-2
+# j rows (mu) / +-1 (u, v, dvdxi_const), which is why the wrapper runs
+# on RING-2 padded arrays; the interior i dimension needs nothing extra
+# (full-width lanes, i stencils are in-register rolls, and out-of-window
+# lanes pass through by mask exactly like the reference's BC ring).
+#
+# u/v/mu outputs get FRESH buffers (their backward row views would read
+# rows the previous tile just wrote if the outputs were aliased — the
+# same race the single-step kernel documents for mu under fuse_uv); the
+# never-computed ring rows are patched outside the kernel.  t and the ww
+# seed row are center-read-only and stay aliased.
+#
+# Arithmetic per substep is the single-step fused kernel's (fuse_uv +
+# lean + lite) term for term, with the wind coefficients cu/cv and msft2
+# precomputed as 2-D constants in the kernel's own association
+# (coupled_lean_kwargs).  Results agree with two sequential single-step
+# calls to <=2 ulp per substep — not bit-equal: the trapezoid program
+# shape moves XLA's FMA-contraction/fusion boundaries (measured on the
+# interpreted path; the same class of last-ulp drift every device tier's
+# tolerance already covers).
+
+
+def _coupled2_kernel(*refs, k0: int, k1: int, tj: int):
+    it = iter(refs)
+    scal_ref = next(it)   # (1, 4) f32: rdx, rdy, dts, cs2
+    win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
+    u_ref, v_ref, t_ref, t1_ref = next(it), next(it), next(it), next(it)
+    tconst_ref, dvdxic_ref = next(it), next(it)
+    (u_lo_ref, u_hi_ref, v_lo_ref, v_hi_ref, v_hi2_ref,
+     t1_lo_ref, t1_hi_ref, dvc_lo_ref, dvc_hi_ref) = (
+        next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it), next(it), next(it))
+    (wwrow_ref, ww1k0_ref, mu_ref, mutend_ref, msftx_ref, msfty_ref,
+     cu_ref, cv_ref, msft2_ref) = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it), next(it))
+    (mu_lo2_ref, mu_lo_ref, mu_hi_ref, mu_hi2_ref,
+     mutend_lo_ref, mutend_hi_ref, msft2_lo_ref, msft2_hi_ref,
+     cu_lo_ref, cu_hi_ref, cv_lo_ref, cv_hi_ref, cv_hi2_ref) = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it))
+    dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
+    t_out, u_out, v_out, mu_out, wwrow_out = (
+        next(it), next(it), next(it), next(it), next(it))
+    scan_ref = next(it)
+
+    rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
+    dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
+    K = t1_ref.shape[1]
+    I = t1_ref.shape[2]
+    g = pl.program_id(0)
+
+    def roll_i(x, shift):
+        return pltpu.roll(x, shift % I, 2)
+
+    def roll_k(x, shift):
+        return pltpu.roll(x, shift % K, 1)
+
+    def _ld(ref):
+        return ref[:].astype(F)
+
+    def cat(*parts):
+        return jnp.concatenate(parts, axis=0)
+
+    # ---- extended assemblies: row index = tile-local e + offset -------
+    u0 = cat(u_lo_ref[:], u_ref[:], u_hi_ref[:])                 # e -1..tj
+    v0 = cat(v_lo_ref[:], v_ref[:], v_hi_ref[:], v_hi2_ref[:])   # e -1..tj+1
+    t1e = cat(_ld(t1_lo_ref), _ld(t1_ref), _ld(t1_hi_ref))       # e -1..tj
+    dvc = cat(_ld(dvc_lo_ref), _ld(dvdxic_ref), _ld(dvc_hi_ref))  # e -1..tj
+    mu0 = cat(mu_lo2_ref[:], mu_lo_ref[:], mu_ref[:],
+              mu_hi_ref[:], mu_hi2_ref[:])                       # e -2..tj+1
+    mute = cat(mutend_lo_ref[:], mutend_ref[:], mutend_hi_ref[:])
+    msft2e = cat(msft2_lo_ref[:], msft2_ref[:], msft2_hi_ref[:])
+    cue = cat(cu_lo_ref[:], cu_ref[:], cu_hi_ref[:])             # e -1..tj
+    cve = cat(cv_lo_ref[:], cv_ref[:], cv_hi_ref[:], cv_hi2_ref[:])
+
+    tcon = _ld(tconst_ref)
+    t_c = t_ref[:]
+    seed = wwrow_ref[:]
+    ww1k0 = ww1k0_ref[:]
+    msftx = msftx_ref[:]
+    msfty = msfty_ref[:]
+    inv_msfty = F(1.0) / msfty
+    dnw = dnw_ref[:].reshape(1, K, 1)
+    fnm = fnm_ref[:].reshape(1, K, 1)
+    fnp = fnp_ref[:].reshape(1, K, 1)
+    rdnw3 = rdnw_ref[:].reshape(1, K, 1)
+    kmask_upd = _k_range_mask(K, k0, k1 + 1)
+    kmask_w = _k_range_mask(K, k0 + 1, k1 + 1)
+
+    # ---- masks on the extended (tj+4) row range -----------------------
+    i_glob = jax.lax.broadcasted_iota(jnp.int32, (tj + 4, 1, I), 2) \
+        + win_ref[0, 5]
+    j_glob = (jax.lax.broadcasted_iota(jnp.int32, (tj + 4, 1, I), 0)
+              + win_ref[0, 4] + g * tj - 1)           # row m -> e = m-2
+    i0w, i1w = win_ref[0, 0], win_ref[0, 1]
+    j0w, j1w = win_ref[0, 2], win_ref[0, 3]
+    i_in = (i_glob >= i0w) & (i_glob <= i1w)
+    j_in = (j_glob >= j0w) & (j_glob <= j1w)
+    mask_e = i_in & j_in
+    u_mask_e = (i_glob >= i0w + 1) & (i_glob <= i1w) & j_in
+    v_mask_e = i_in & (j_glob >= j0w + 1) & (j_glob <= j1w)
+    mask_c = mask_e[2 : tj + 2]
+    u_mask_c = u_mask_e[2 : tj + 2]
+    sl_c = slice(1, tj + 1)            # center rows of an e:-1..tj array
+
+    # shared constants of phase B (t_1 is constant across substeps)
+    t1c = t1e[sl_c]
+    t1_jp = t1e[2 : tj + 2]
+    t1_jm = t1e[0:tj]
+    t1_ip = roll_i(t1c, -1)
+    t1_im = roll_i(t1c, 1)
+    interp = fnm * t1c + fnp * roll_k(t1c, 1)
+    mutend_c = mute[sl_c]
+    dvc_c = dvc[sl_c]
+    msft2_c = msft2e[sl_c]
+    cu_c = cue[sl_c]
+
+    def scan_body(k, _):
+        scan_ref[:, pl.ds(k, 1), :] = (
+            scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
+        )
+        return 0
+
+    def ww_scan(steps, seed):
+        scan_ref[:] = roll_k(steps, 1)
+        scan_ref[:, k0 : k0 + 1, :] = seed
+        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
+
+    def theta(t_in, u, v_c, v_p, ww_new):
+        t_half = t_in + tcon
+        wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
+        vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
+        fy = v_p * (t1_jp + t1c) - v_c * (t1c + t1_jm)
+        fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
+        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
+        return jnp.where(kmask_upd & mask_c,
+                         t_half - (dts * msfty) * (horiz + vert), t_in)
+
+    # ================== step 1 (extended rows) =========================
+    p0 = cs2 * mu0                                            # e -2..tj+1
+    u1 = u0 + jnp.where(
+        u_mask_e[1 : tj + 3],
+        cue * (p0[1 : tj + 3] - roll_i(p0[1 : tj + 3], 1)), F(0.0))
+    v1 = v0 + jnp.where(
+        v_mask_e[1 : tj + 4],
+        cve * (p0[1 : tj + 4] - p0[0 : tj + 3]), F(0.0))      # e -1..tj+1
+    dvdxi1 = dvc + msft2e * (
+        rdy * (v1[1 : tj + 3] - v1[0 : tj + 2])
+        + rdx * (roll_i(u1, -1) - u1))                        # e -1..tj
+    dmdt1 = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi1, F(0.0)),
+                    axis=1, keepdims=True)
+    mu1 = jnp.where(mask_e[1 : tj + 3],
+                    mu0[1 : tj + 3] + dts * (dmdt1 + mute),
+                    mu0[1 : tj + 3])                          # e -1..tj
+
+    steps1 = (-dnw * (dmdt1[sl_c] + dvdxi1[sl_c] + mutend_c)) * inv_msfty
+    ww1v = ww_scan(steps1, seed)
+    seed = jnp.where(mask_c, seed - ww1k0, seed)
+    u1c = u1[sl_c]
+    t1new = theta(t_c, u1c, v1[1 : tj + 1], v1[2 : tj + 2], ww1v)
+
+    # ================== step 2 (center rows) ===========================
+    p1 = cs2 * mu1                                            # e -1..tj
+    u2 = u1c + jnp.where(
+        u_mask_c, cu_c * (p1[sl_c] - roll_i(p1[sl_c], 1)), F(0.0))
+    v2 = v1[1 : tj + 2] + jnp.where(
+        v_mask_e[2 : tj + 3],
+        cve[1 : tj + 2] * (p1[1 : tj + 2] - p1[0 : tj + 1]), F(0.0))
+    dvdxi2 = dvc_c + msft2_c * (
+        rdy * (v2[1 : tj + 1] - v2[0:tj])
+        + rdx * (roll_i(u2, -1) - u2))
+    dmdt2 = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi2, F(0.0)),
+                    axis=1, keepdims=True)
+    mu2 = jnp.where(mask_c, mu1[sl_c] + dts * (dmdt2 + mutend_c),
+                    mu1[sl_c])
+
+    steps2 = (-dnw * (dmdt2 + dvdxi2 + mutend_c)) * inv_msfty
+    ww2v = ww_scan(steps2, seed)
+    seed = jnp.where(mask_c, seed - ww1k0, seed)
+    t2 = theta(t1new, u2, v2[0:tj], v2[1 : tj + 1], ww2v)
+
+    t_out[:] = t2
+    u_out[:] = u2
+    v_out[:] = v2[0:tj]
+    mu_out[:] = mu2
+    wwrow_out[:] = seed
+
+
+def coupled_lean_kwargs(padded: dict, rdx, rdy, dts) -> dict:
+    """Precomputed 2-D wind/flux coefficients for the blocked coupled
+    kernel, in the single-step fused kernel's own association:
+    ``cu = dts * (muu/msfuy) * (-rdx)``, ``cv = dts * (muv*msfvx_inv) *
+    (-rdy)``, ``msft2 = msftx*msfty`` (advance_mu_t_pallas._kernel's
+    du/dv/msft2 terms — products only, so precomputing them outside the
+    kernel is bit-exact)."""
+    rdx = jnp.asarray(rdx, F)
+    rdy = jnp.asarray(rdy, F)
+    dts = jnp.asarray(dts, F)
+    muu = jnp.asarray(padded["muu"], F)
+    muv = jnp.asarray(padded["muv"], F)
+    return {
+        "cu": dts * (muu / jnp.asarray(padded["msfuy"], F)) * (-rdx),
+        "cv": dts * (muv * jnp.asarray(padded["msfvx_inv"], F)) * (-rdy),
+        "msft2": jnp.asarray(padded["msftx"], F)
+        * jnp.asarray(padded["msfty"], F),
+    }
+
+
+def coupled_two_step_pallas(
+    *,
+    u, v, t, t_1, tconst, dvdxi_const, ww1_k0, ww_row,
+    mu, mu_tend, msftx, msfty, cu, cv, msft2,
+    rdx, rdy, dts, cs2,
+    dnw, fnm, fnp, rdnw,
+    window, offsets=(0, 0),
+    k0: int, k1: int, kde: int,
+    tj: int | None = None,
+    vmem_limit: int | None = None,
+    interpret: bool = False,
+):
+    """TWO coupled (advance_uv + advance_mu_t) substeps in one Pallas
+    pass over RING-2 arrays.
+
+    Array contract: 3-D ``(J2, K, I)`` / 2-D ``(J2, I)`` where the first
+    TWO and last TWO j rows are ring/pad rows (outermost may be zeros —
+    they are only read at window-masked positions); ``offsets`` maps
+    local row 2 to global ring row ``j_off + 1`` exactly like the ring-1
+    kernels map local row 1.  ``(J2 - 4)`` must be a multiple of ``tj``
+    (the surrounding loop pads once, outside its scan).  Returns
+    ``{"t", "mu", "ww_row", "u", "v"}`` with u/v/mu in FRESH buffers
+    whose four ring rows are patched from the inputs.
+    """
+    del kde
+    J2, K, I = jnp.shape(t)
+    if (J2 - 4) % (tj or 1):
+        raise ValueError(f"(J2-4)={J2-4} not a multiple of tj={tj}")
+    if tj is None:
+        tj = _pick_tj(K, I, streams=64)
+
+    const_ok = {"t_1", "tconst", "dvdxi_const"}
+
+    def _ingest3(name, a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bfloat16:
+            if name not in const_ok:
+                raise ValueError(f"bf16 {name!r} is not a constant stream")
+            return a
+        return a.astype(F)
+
+    names3 = ["u", "v", "t", "t_1", "tconst", "dvdxi_const"]
+    f3 = [_ingest3(n, a) for n, a in
+          zip(names3, (u, v, t, t_1, tconst, dvdxi_const))]
+    d3 = dict(zip(names3, f3))
+    f2names = ["ww_row", "ww1_k0", "mu", "mu_tend", "msftx", "msfty",
+               "cu", "cv", "msft2"]
+    f2 = {n: jnp.asarray(a, F)[:, None, :] for n, a in
+          zip(f2names, (ww_row, ww1_k0, mu, mu_tend, msftx, msfty,
+                        cu, cv, msft2))}
+    kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
+
+    scal = jnp.stack([jnp.asarray(s, F)
+                      for s in (rdx, rdy, dts, cs2)])[None, :]
+    i0, i1, j0, j1 = window
+    j_off, i_off = offsets
+    win = jnp.stack([jnp.asarray(x, jnp.int32)
+                     for x in (i0, i1, j0, j1, j_off, i_off)])[None, :]
+
+    # ring-2 views: center base row = 2 + g*tj  (shift is relative to the
+    # ring-1 helpers' base 1 + g*tj)
+    c3 = _view(tj, K, I, 1)
+    c2 = _view(tj, 1, I, 1)
+    r3 = functools.partial(_row_view, tj, K, I)
+    r2 = functools.partial(_row_view, tj, 1, I)
+    sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    ssc = pl.BlockSpec((1, 4), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    LO2, LO, HI, HI2 = -1, 0, tj + 1, tj + 2   # ring-1-relative shifts
+
+    in_specs = [ssc, swin]
+    in_specs += [c3] * 6
+    in_specs += [r3(LO), r3(HI), r3(LO), r3(HI), r3(HI2),
+                 r3(LO), r3(HI), r3(LO), r3(HI)]
+    in_specs += [c2] * 9
+    in_specs += [r2(LO2), r2(LO), r2(HI), r2(HI2),
+                 r2(LO), r2(HI), r2(LO), r2(HI),
+                 r2(LO), r2(HI), r2(LO), r2(HI), r2(HI2)]
+    in_specs += [sk] * 4
+
+    operands = [scal, win, *f3]
+    operands += [d3["u"], d3["u"], d3["v"], d3["v"], d3["v"],
+                 d3["t_1"], d3["t_1"], d3["dvdxi_const"], d3["dvdxi_const"]]
+    operands += [f2[n] for n in f2names]
+    operands += [f2["mu"], f2["mu"], f2["mu"], f2["mu"],
+                 f2["mu_tend"], f2["mu_tend"], f2["msft2"], f2["msft2"],
+                 f2["cu"], f2["cu"], f2["cv"], f2["cv"], f2["cv"]]
+    operands += kvecs
+
+    big = jax.ShapeDtypeStruct((J2, K, I), F)
+    thin = jax.ShapeDtypeStruct((J2, 1, I), F)
+    out_specs = [c3, c3, c3, c2, c2]
+    out_shape = [big, big, big, thin, thin]
+    # t and the seed row are center-read-only -> aliased; u/v/mu have
+    # backward row views (see the module comment) -> fresh buffers
+    idx_t = 2 + names3.index("t")
+    idx_wwrow = 2 + 6 + 9
+    aliases = {idx_t: 0, idx_wwrow: 4}
+
+    kernel = functools.partial(_coupled2_kernel, k0=k0, k1=k1, tj=tj)
+    t_o, u_o, v_o, mu_o, wwrow_o = pl.pallas_call(
+        kernel,
+        grid=((J2 - 4) // tj,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)],
+        input_output_aliases=aliases,
+        compiler_params=_compiler_params(vmem_limit),
+        interpret=interpret,
+    )(*operands)
+
+    def patch(out, inp):
+        out = out.at[0:2].set(inp[0:2])
+        return out.at[J2 - 2 : J2].set(inp[J2 - 2 : J2])
+
+    return {
+        "t": t_o,
+        "u": patch(u_o, d3["u"]),
+        "v": patch(v_o, d3["v"]),
+        "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)),
+        "ww_row": wwrow_o[:, 0, :],
+    }
