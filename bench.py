@@ -6,7 +6,10 @@ Prints ONE JSON line:
 
 The headline record (top-level value) is the mu_t-only device-resident loop
 at 512x512x50 — the same metric every round reports, so BENCH_r*.json stays
-round-over-round comparable.  ``configs`` adds machine-readable records for
+round-over-round comparable.  From round 2 the loop is temporally blocked
+(inner_steps=8: 8 substeps per Pallas pass, bit-equal to the unblocked
+scan — ops/advance_mu_t_msteps.py); the "S=1" row tracks the unblocked
+number for continuity.  ``configs`` adds machine-readable records for
 the flagship coupled substep (advance_uv + advance_mu_t fused), the
 coupled+w stack (adds the vertically-implicit w/pp substep), and the
 CONUS-scale 1500x1500x50 coupled run.
@@ -54,30 +57,33 @@ def _make_run(loop, arrays, scalars):
     return run
 
 
-def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False):
+def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
+           inner_steps=1):
     from wrf_tpu.models.small_step import SmallStepLoop
     from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
     cd = jnp.bfloat16 if bf16 else None
     if coupled:
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                             with_w=with_w, const_dtype=cd)
+                             with_w=with_w, const_dtype=cd,
+                             inner_steps=inner_steps)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     else:
         loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                  n_steps=steps, vary_winds=True,
-                                 const_dtype=cd)
+                                 const_dtype=cd, inner_steps=inner_steps)
         arrays = loop.prepare(case_to_domain(case))
     return _make_run(loop, arrays,
                      (case.rdx, case.rdy, case.dts, case.epssm))
 
 
 def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
-                   coupled=False, with_w=False, bf16=False):
+                   coupled=False, with_w=False, bf16=False, inner_steps=1):
     """per-step seconds by the two-step-count difference method."""
     times = {}
     for steps in (n1, n2):
-        run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16)
+        run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16,
+                     inner_steps)
         checksum = run()  # compile + warm up (also proves non-NaN execution)
         assert np.isfinite(checksum), f"non-finite checksum at steps={steps}"
         best = float("inf")
@@ -154,19 +160,28 @@ def main():
     mesh = make_mesh([jax.devices()[0]], (1, 1))
 
     specs = [
-        # (name, nx, ny, nz, coupled, with_w, bf16, (n1, n2))
-        ("mu_t 512x512x50", 512, 512, 50, False, False, False, (50, 250)),
-        ("coupled 512x512x50", 512, 512, 50, True, False, False, (50, 250)),
-        ("coupled+w 512x512x50", 512, 512, 50, True, True, False, (50, 250)),
+        # (name, nx, ny, nz, coupled, with_w, bf16, inner_steps, (n1, n2))
+        # temporal blocking (inner_steps=S, ops/advance_mu_t_msteps.py)
+        # is ON for the headline and coupled configs — it computes the
+        # identical substep sequence (bit-equal for mu_t; <=2 ulp/substep
+        # for coupled), S substeps per HBM pass
+        ("mu_t 512x512x50", 512, 512, 50,
+         False, False, False, 8, (50, 250)),
+        ("mu_t 512x512x50 S=1", 512, 512, 50,
+         False, False, False, 1, (50, 250)),
+        ("coupled 512x512x50", 512, 512, 50,
+         True, False, False, 2, (50, 250)),
+        ("coupled+w 512x512x50", 512, 512, 50,
+         True, True, False, 1, (50, 250)),
         ("coupled CONUS 1500x1500x50",
-         1500, 1500, 50, True, False, False, (20, 80)),
+         1500, 1500, 50, True, False, False, 1, (20, 80)),
         # opt-in reduced-precision constant streams (state/outputs f32)
         ("mu_t 512x512x50 bf16-const",
-         512, 512, 50, False, False, True, (50, 250)),
+         512, 512, 50, False, False, True, 8, (50, 250)),
         ("coupled 512x512x50 bf16-const",
-         512, 512, 50, True, False, True, (50, 250)),
+         512, 512, 50, True, False, True, 2, (50, 250)),
     ]
-    for name, nx, ny, nz, coupled, with_w, bf16, (n1, n2) in specs:
+    for name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2) in specs:
         if time.perf_counter() - t_start > budget_s:
             records.append({"config": name, "skipped": "time budget"})
             continue
@@ -174,13 +189,15 @@ def main():
         pts = nx * ny * nz
         try:
             per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
-                                 coupled=coupled, with_w=with_w, bf16=bf16)
+                                 coupled=coupled, with_w=with_w, bf16=bf16,
+                                 inner_steps=inner)
             records.append({
                 "config": name,
                 "ms_per_step": round(per * 1e3, 4),
                 "gpts_per_s": round(pts / per),
                 "vs_baseline": round(pts / per / REFERENCE_GPS, 3),
                 "method": "marginal",
+                **({"inner_steps": inner} if inner > 1 else {}),
             })
         except Exception as e:  # keep earlier records if a config fails
             records.append({"config": name,

@@ -25,11 +25,20 @@ from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 from wrf_tpu.utils.health import wait_healthy_inline
 
 
-def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None):
-    loop = ShardedAdvanceMuT(
-        mesh, nx, ny, nz, case.flags, n_steps=steps, vary_winds=True,
-        inner_steps=inner, tj=tj,
-        const_dtype=jnp.bfloat16 if bf16 else None)
+def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None,
+          coupled=False):
+    if coupled:
+        from wrf_tpu.models.small_step import SmallStepLoop
+
+        loop = SmallStepLoop(
+            mesh, nx, ny, nz, case.flags, n_steps=steps,
+            inner_steps=inner, tj=tj,
+            const_dtype=jnp.bfloat16 if bf16 else None)
+    else:
+        loop = ShardedAdvanceMuT(
+            mesh, nx, ny, nz, case.flags, n_steps=steps, vary_winds=True,
+            inner_steps=inner, tj=tj,
+            const_dtype=jnp.bfloat16 if bf16 else None)
     arrays = loop.prepare(case_to_domain(case))
     sc = (case.rdx, case.rdy, case.dts, case.epssm)
 
@@ -73,12 +82,15 @@ def main():
     case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
     pts = nx * ny * nz
     n1, n2 = 50, 250
-    for bf16 in (False, True):
-        for inner in (1, 2, 4, 8):
+    grid = [(False, False, (1, 2, 4, 8)), (True, False, (1, 2, 4, 8)),
+            (False, True, (1, 2)), (True, True, (1, 2))]
+    for bf16, coupled, inners in grid:
+        for inner in inners:
             times = {}
             try:
                 for steps in (n1, n2):
-                    run = build(mesh, case, nx, ny, nz, steps, inner, bf16)
+                    run = build(mesh, case, nx, ny, nz, steps, inner, bf16,
+                                coupled=coupled)
                     cs = run()
                     assert np.isfinite(cs), f"non-finite checksum {cs}"
                     best = float("inf")
@@ -88,10 +100,12 @@ def main():
                         best = min(best, time.perf_counter() - t0)
                     times[steps] = best
                 per = (times[n2] - times[n1]) / (n2 - n1)
-                print(f"bf16={int(bf16)} S={inner}: {per*1e3:.4f} ms/substep "
+                print(f"{'coupled' if coupled else 'mu_t'} "
+                      f"bf16={int(bf16)} S={inner}: {per*1e3:.4f} ms/substep "
                       f"({pts/per/1e9:.2f} G pts/s)", flush=True)
             except Exception as e:
-                print(f"bf16={int(bf16)} S={inner}: ERROR "
+                print(f"{'coupled' if coupled else 'mu_t'} "
+                      f"bf16={int(bf16)} S={inner}: ERROR "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 

@@ -1,0 +1,75 @@
+"""Chip tuning for the temporally-blocked kernels: S, tj, ablations.
+
+Usage: python tools/msteps_tune.py
+Prints one line per experiment (two-build marginal, 512x512x50).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from wrf_tpu.io import fixtures  # noqa: E402
+from wrf_tpu.parallel.mesh import make_mesh  # noqa: E402
+from wrf_tpu.utils.health import wait_healthy_inline  # noqa: E402
+
+from bench_msteps import build  # noqa: E402  (same tools dir)
+
+
+def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, coupled=False,
+             n1=50, n2=250):
+    times = {}
+    for steps in (n1, n2):
+        run = build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=tj,
+                    coupled=coupled)
+        cs = run()
+        assert np.isfinite(cs), f"non-finite checksum {cs}"
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+    return (times[n2] - times[n1]) / (n2 - n1)
+
+
+def main():
+    wait_healthy_inline()
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+    nx = ny = 512
+    nz = 50
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+    pts = nx * ny * nz
+
+    exps = [
+        # (label, inner, bf16, tj, coupled, ablate)
+        ("mu_t f32 S=12", 12, False, None, False, ""),
+        ("mu_t f32 S=16", 16, False, None, False, ""),
+        ("mu_t f32 S=8 ablate=noscan", 8, False, None, False, "noscan"),
+        ("mu_t f32 S=8 ablate=nophaseb", 8, False, None, False, "nophaseb"),
+        ("mu_t f32 S=8 ablate=noscan,nophaseb", 8, False, None, False,
+         "noscan,nophaseb"),
+        ("mu_t f32 S=8 tj=7", 8, False, 7, False, ""),
+        ("mu_t f32 S=8 tj=12", 8, False, 12, False, ""),
+        ("coupled bf16 S=2 tj=7", 2, True, 7, True, ""),
+        ("coupled bf16 S=2 tj=11", 2, True, 11, True, ""),
+    ]
+    for label, inner, bf16, tj, coupled, ablate in exps:
+        os.environ["WRF_TPU_ABLATE"] = ablate
+        try:
+            per = marginal(mesh, case, nx, ny, nz, inner, bf16, tj=tj,
+                           coupled=coupled)
+            print(f"{label}: {per*1e3:.4f} ms/substep "
+                  f"({pts/per/1e9:.2f} G pts/s)", flush=True)
+        except Exception as e:
+            print(f"{label}: ERROR {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+    os.environ["WRF_TPU_ABLATE"] = ""
+
+
+if __name__ == "__main__":
+    main()

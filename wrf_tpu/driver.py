@@ -55,7 +55,7 @@ BF16_ATOL_SCALE = 2e-2
 
 def run_tier(case, steps: int, tier: str, mesh_shape=None,
              capture: bool = False, with_w: bool = False,
-             const_dtype=None):
+             const_dtype=None, inner_steps: int = 1):
     """Run `steps` small steps on the chosen tier; returns
     ``(outputs, seconds, golden_override)`` — ``golden_override`` is None
     for tiers verified against the fixture goldens, or the in-process
@@ -117,7 +117,8 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         from .parallel.sharded import embed_outputs
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              kernel=kernel, with_w=with_w,
-                             const_dtype=const_dtype)
+                             const_dtype=const_dtype,
+                             inner_steps=inner_steps)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
         warm = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         np.asarray(warm["t"])  # sync: the warmup run must finish before t0
@@ -197,7 +198,8 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
         step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                  n_steps=steps, kernel=kernel,
-                                 const_dtype=const_dtype)
+                                 const_dtype=const_dtype,
+                                 inner_steps=inner_steps)
         from .parallel.sharded import embed_outputs
         arrays = step.prepare(case_to_domain(case))
         warm = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)  # compile
@@ -228,6 +230,9 @@ def main(argv=None) -> int:
     p.add_argument("--dump-intermediates", default=None, metavar="DIR",
                    help="write *_before_theta.bin phase-A captures of the "
                         "final substep (numpy, native, xla and pallas tiers)")
+    p.add_argument("--inner-steps", type=int, default=1,
+                   help="temporal blocking: substeps fused per Pallas "
+                        "pass (sharded-pallas: any S; coupled: 2)")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16-const"],
                    help="bf16-const (sharded-pallas / coupled tiers): "
@@ -261,20 +266,27 @@ def main(argv=None) -> int:
                  "sharded-xla", "sharded-pallas",
                  "coupled", "coupled-xla", "coupled-native",
                  "coupled+w", "coupled-xla+w", "coupled-native+w",
-                 "sharded-pallas~bf16", "coupled~bf16")
+                 "sharded-pallas~bf16", "coupled~bf16",
+                 "sharded-pallas~blk", "coupled~blk")
         failures = 0
         for tier in tiers:
-            tier_bf = tier.endswith("~bf16")
-            tname = tier[:-5] if tier_bf else tier
+            tier_blk = tier.endswith("~blk")
+            tname = tier[:-4] if tier_blk else tier
+            tier_bf = tname.endswith("~bf16")
+            tname = tname[:-5] if tier_bf else tname
             tier_w = tname.endswith("+w")
             tname = tname[:-2] if tier_w else tname
             cd = None
             if tier_bf:
                 import jax.numpy as jnp
                 cd = jnp.bfloat16
+            inner = 1
+            if tier_blk:
+                inner = 2 if tname == "coupled" else 4
             try:
                 out, dt, gold_ov = run_tier(case, steps, tname, mesh_shape,
-                                            with_w=tier_w, const_dtype=cd)
+                                            with_w=tier_w, const_dtype=cd,
+                                            inner_steps=inner)
             except Exception as e:  # report, keep the matrix going
                 failures += 1
                 print(f"{tier:>20}: ERROR {type(e).__name__}: {e}")
@@ -304,7 +316,7 @@ def main(argv=None) -> int:
     out, dt, gold_override = run_tier(
         case, steps, args.tier, mesh_shape,
         capture=bool(args.dump_intermediates), with_w=args.with_w,
-        const_dtype=const_dtype)
+        const_dtype=const_dtype, inner_steps=args.inner_steps)
 
     if args.dump_intermediates:
         from pathlib import Path

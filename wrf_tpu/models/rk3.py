@@ -66,7 +66,8 @@ class RK3Integrator:
                  acoustic_steps: int = 6, kernel: str = "pallas",
                  cs2: float = DEFAULT_CS2, with_w: bool = False,
                  smdiv: float = 0.0, snapshot: str = "stage",
-                 interpret: bool | None = None, const_dtype=None):
+                 interpret: bool | None = None, const_dtype=None,
+                 inner_steps: int = 1):
         if snapshot not in ("stage", "base"):
             raise ValueError(f"bad snapshot mode {snapshot!r}")
         self.snapshot = snapshot
@@ -75,7 +76,8 @@ class RK3Integrator:
             SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
                           kernel=kernel, cs2=cs2, with_w=with_w,
                           smdiv=smdiv, interpret=interpret,
-                          const_dtype=const_dtype)
+                          const_dtype=const_dtype,
+                          inner_steps=inner_steps)
             for (_, n_sub) in self.stages
         ]
         self.prepare = self.loops[0].prepare

@@ -55,7 +55,7 @@ F = jnp.float32
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
-            has_wscale: bool):
+            has_wscale: bool, ablate: str = ""):
     it = iter(refs)
     scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, w0, dw
     win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
@@ -170,7 +170,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         steps = (-dnw * (dmdt + dvdxi + mutend)) * inv_msfty
         scan_ref[:] = roll_k(steps, 1)
         scan_ref[:, k0 : k0 + 1, :] = seed
-        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        if "noscan" not in ablate:   # perf-debug ablation (WRF_TPU_ABLATE)
+            jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
         ww_new = jnp.where(kmask_upd & mask, scan_ref[:], F(0.0))
         seed = jnp.where(mask, seed - ww1k0, seed)
 
@@ -182,6 +183,8 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         fx = roll_i(u, -1) * (t1_ip + t1) - u * (t1 + t1_im)
         horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
         t_new = t_half - (dts * msfty) * (horiz + vert)
+        if "nophaseb" in ablate:     # perf-debug ablation
+            t_new = t_half
         t_st = jnp.where(kmask_upd & mask, t_new, t_st)
 
     t_out[:] = t_st
@@ -304,8 +307,10 @@ def advance_mu_t_multistep_pallas(
     idx_mu = idx_wwrow + 2
     aliases = {idx_t: 0, idx_mu: 1, idx_wwrow: 2}
 
+    import os
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
-                               n_inner=n_inner, has_wscale=has_wscale)
+                               n_inner=n_inner, has_wscale=has_wscale,
+                               ablate=os.environ.get("WRF_TPU_ABLATE", ""))
     t_o, mu_o, wwrow_o = pl.pallas_call(
         kernel,
         grid=((Jp - 2) // tj,),

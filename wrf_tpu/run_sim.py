@@ -58,6 +58,9 @@ def main(argv=None) -> int:
                         "bf16 in HBM — the loop is bandwidth-bound, so "
                         "this trades ~0.4%% forcing-proportional error "
                         "for throughput (state/outputs stay f32)")
+    p.add_argument("--inner-steps", type=int, default=1,
+                   help="temporal blocking: coupled substeps fused per "
+                        "Pallas pass (2; single-shard pallas, no w/smdiv)")
     p.add_argument("--closure", default="none", choices=["none", "nudge"],
                    help="slow-forcing closure: 'nudge' holds the *_1 "
                         "advecting fields at the base state and recomputes "
@@ -122,7 +125,8 @@ def main(argv=None) -> int:
                         else "stage",
                         const_dtype=(_jnp.bfloat16
                                      if args.precision == "bf16-const"
-                                     else None))
+                                     else None),
+                        inner_steps=args.inner_steps)
 
     dom = case_to_domain(case, with_w=args.with_w)
     start_step = 0
