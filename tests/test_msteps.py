@@ -130,7 +130,8 @@ def _run_coupled(case, nx, ny, nz, n_steps, inner_steps, **kw):
     mesh = make_mesh(jax.devices()[:1], (1, 1))
     loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=n_steps,
                          inner_steps=inner_steps, **kw)
-    arrays = loop.prepare(case_to_domain(case))
+    arrays = loop.prepare(
+        case_to_domain(case, with_w=kw.get("with_w", False)))
     return loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
 
 
@@ -195,10 +196,32 @@ def test_coupled_inner_steps_validation():
         SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=3)
     with pytest.raises(ValueError):
         SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
-                      with_w=True)
-    with pytest.raises(ValueError):
-        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
                       smdiv=0.1)
     mesh4 = make_mesh(jax.devices()[:4], (2, 2))
     with pytest.raises(ValueError):
         SmallStepLoop(mesh4, 16, 12, 8, case.flags, inner_steps=2)
+
+
+def test_coupled_blocked_with_w():
+    """Blocked coupled+w (Thomas solve fused per inner step) vs the
+    single-step fused stack, and vs the golden loop."""
+    from wrf_tpu.models.small_step import small_step_golden
+    from wrf_tpu.parallel.sharded import embed_outputs
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run_coupled(case, nx, ny, nz, 8, 1, with_w=True)
+    blk = _run_coupled(case, nx, ny, nz, 8, 2, with_w=True)
+    assert set(ref) == set(blk) and "w" in blk and "pp" in blk
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+    gold = small_step_golden(case, steps=8, with_w=True)
+    emb = embed_outputs(case, blk)
+    for name in ("t", "mu", "ww", "u", "v", "w", "pp"):
+        scale = max(np.max(np.abs(gold[name])), 1.0)
+        np.testing.assert_allclose(
+            emb[name], gold[name], rtol=2e-5, atol=2e-6 * scale,
+            err_msg=name)

@@ -26,20 +26,20 @@ from wrf_tpu.utils.health import wait_healthy_inline
 
 
 def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None,
-          coupled=False):
+          coupled=False, with_w=False):
     if coupled:
         from wrf_tpu.models.small_step import SmallStepLoop
 
         loop = SmallStepLoop(
             mesh, nx, ny, nz, case.flags, n_steps=steps,
-            inner_steps=inner, tj=tj,
+            inner_steps=inner, tj=tj, with_w=with_w,
             const_dtype=jnp.bfloat16 if bf16 else None)
     else:
         loop = ShardedAdvanceMuT(
             mesh, nx, ny, nz, case.flags, n_steps=steps, vary_winds=True,
             inner_steps=inner, tj=tj,
             const_dtype=jnp.bfloat16 if bf16 else None)
-    arrays = loop.prepare(case_to_domain(case))
+    arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     sc = (case.rdx, case.rdy, case.dts, case.epssm)
 
     def run():

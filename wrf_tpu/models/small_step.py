@@ -144,9 +144,10 @@ class SmallStepLoop:
             # (ring-2 exchange is the multi-chip extension point)
             if kernel != "pallas":
                 raise ValueError("inner_steps requires the pallas kernel")
-            if with_w or smdiv:
-                raise ValueError("inner_steps=2 does not support with_w/"
-                                 "smdiv yet")
+            if smdiv:
+                raise ValueError("inner_steps=2 does not support smdiv "
+                                 "yet (mudf would need its own extended "
+                                 "rows)")
             if (mesh.shape["j"] > 1 or mesh.shape["i"] > 1
                     or force_exchange):
                 raise ValueError("inner_steps=2 requires a single-shard "
@@ -208,6 +209,8 @@ class SmallStepLoop:
                 # values are resident at once (calibrated on chip from
                 # compile-reported scoped sizes, like the others)
                 blk_streams = 60 if const_dtype is not None else 72
+                if with_w:
+                    blk_streams += 28   # w/pp streams + Thomas scratches
                 tj_loc, vmem_limit = sharded_tile_params(
                     K, ni_loc, tj, streams=blk_streams)
             else:
@@ -438,6 +441,10 @@ class SmallStepLoop:
                 state2 = {k: (p3(v) if v.ndim == 3 else p2(v))
                           for k, v in state.items()}
 
+                w_kw = ({"fuse_w": True, "rdn": padded["rdn"],
+                         "cw": cw, "gw": gw, "epssm": scalars["epssm"]}
+                        if with_w else {})
+
                 def block_body(st, _):
                     out2 = coupled_two_step_pallas(
                         u=st["u"], v=st["v"], t=st["t"], mu=st["mu"],
@@ -447,7 +454,9 @@ class SmallStepLoop:
                         dnw=padded["dnw"], fnm=padded["fnm"],
                         fnp=padded["fnp"], rdnw=padded["rdnw"],
                         window=(i0, i1, j0, j1), offsets=offs,
-                        k0=k0, k1=k1, kde=nz - 1,
+                        k0=k0, k1=k1, kde=nz - 1, **w_kw,
+                        **({"w": st["w"], "pp": st["pp"]} if with_w
+                           else {}),
                         tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )

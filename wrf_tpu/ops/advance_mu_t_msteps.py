@@ -200,12 +200,17 @@ def multistep_tile_params(K: int, ni_loc: int, tj: int | None = None,
     (see advance_mu_t_pallas.sharded_tile_params); the stream budget adds
     the blocked loop's extra LIVE invariants (t1 neighbor views + interp
     + dvdxi_const all stay resident across the S steps) on top of the
-    operand streams — start from the single-step accounting + 12 rows,
-    calibrated on-chip from compile-reported scoped sizes."""
+    operand streams.  streams=72 is MEASURED (tools/msteps_tune.py,
+    512x512x50, S=8): it lands tj=7 at 0.3685 ms/substep vs tj=9's
+    0.3770 and tj=12's 0.4007 — past S=8 the kernel is compute-bound
+    (ablations: scan ~0.125, phase B ~0.115, streams ~0.08 ms), so
+    smaller tiles that keep scoped VMEM low win.  ``const_bf16`` no
+    longer changes the pick: both precisions sit on the same
+    compute-bound floor (bf16 S=8 measured 0.3798 vs f32 0.3770)."""
     from .advance_mu_t_pallas import sharded_tile_params
 
-    return sharded_tile_params(
-        K, ni_loc, tj, streams=44 if const_bf16 else 56)
+    del const_bf16
+    return sharded_tile_params(K, ni_loc, tj, streams=72)
 
 
 def advance_mu_t_multistep_pallas(
@@ -359,12 +364,14 @@ def advance_mu_t_multistep_pallas(
 # tolerance already covers).
 
 
-def _coupled2_kernel(*refs, k0: int, k1: int, tj: int):
+def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool):
     it = iter(refs)
-    scal_ref = next(it)   # (1, 4) f32: rdx, rdy, dts, cs2
+    scal_ref = next(it)   # (1, 7) f32: rdx, rdy, dts, cs2, epssm, c_w, g_t
     win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
     u_ref, v_ref, t_ref, t1_ref = next(it), next(it), next(it), next(it)
     tconst_ref, dvdxic_ref = next(it), next(it)
+    if fuse_w:
+        w_ref, pp_ref = next(it), next(it)   # vertical-acoustics state
     (u_lo_ref, u_hi_ref, v_lo_ref, v_hi_ref, v_hi2_ref,
      t1_lo_ref, t1_hi_ref, dvc_lo_ref, dvc_hi_ref) = (
         next(it), next(it), next(it), next(it), next(it),
@@ -380,9 +387,16 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int):
         next(it), next(it), next(it), next(it), next(it), next(it),
         next(it))
     dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
+    if fuse_w:
+        aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
+        crdn_ref, erdn_ref = next(it), next(it)
     t_out, u_out, v_out, mu_out, wwrow_out = (
         next(it), next(it), next(it), next(it), next(it))
+    if fuse_w:
+        w_out, pp_out = next(it), next(it)
     scan_ref = next(it)
+    if fuse_w:
+        cpw_ref, dpw_ref = next(it), next(it)   # Thomas sweep state
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
@@ -478,6 +492,63 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int):
         return jnp.where(kmask_upd & mask_c,
                          t_half - (dts * msfty) * (horiz + vert), t_in)
 
+    # fused vertically-implicit w/pp substep: identical to the single-
+    # step kernel's fuse_w block (advance_mu_t_pallas._kernel) — column-
+    # local Thomas solve, pointwise in (i, j), so it composes with the
+    # trapezoid without any extended-row work; scan_ref doubles as rhs
+    # storage (its ww values are already consumed by theta)
+    if fuse_w:
+        epssm = scal_ref[0, 4]
+        c_w = scal_ref[0, 5]
+        g_t = scal_ref[0, 6]
+        beta = F(0.5) * (F(1.0) + epssm)
+        alfa = F(1.0) - beta
+        crdn = crdn_ref[:].reshape(1, K, 1)
+        erdn = erdn_ref[:].reshape(1, K, 1)
+
+        def w_fwd(k, _):
+            ak = aw_ref[0, k]
+            denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
+            cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
+            dpw_ref[:, pl.ds(k, 1), :] = (
+                scan_ref[:, pl.ds(k, 1), :]
+                + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
+            ) / denom
+            return 0
+
+        def w_bwd(m, _):
+            k = k1 - 1 - m
+            dpw_ref[:, pl.ds(k, 1), :] = (
+                dpw_ref[:, pl.ds(k, 1), :]
+                - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
+            )
+            return 0
+
+        def w_step(wf, ppf, t_full):
+            w_act = jnp.where(kmask_w, wf, F(0.0))
+            dvz = jnp.where(kmask_upd,
+                            rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
+            scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
+                           + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
+            zrow = jnp.zeros_like(wf[:, :1, :])
+            cpw_ref[:, k0 : k0 + 1, :] = zrow
+            dpw_ref[:, k0 : k0 + 1, :] = zrow
+            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+            w_sol = dpw_ref[:]
+            w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
+            wn_act = jnp.where(kmask_w, w_sol, F(0.0))
+            dvz_new = jnp.where(kmask_upd,
+                                rdnw3 * (roll_k(wn_act, -1) - wn_act),
+                                F(0.0))
+            pp_new = jnp.where(kmask_upd & mask_c,
+                               ppf - c_w * (beta * dvz_new + alfa * dvz),
+                               ppf)
+            return w_new, pp_new
+
+        w_st = w_ref[:]
+        pp_st = pp_ref[:]
+
     # ================== step 1 (extended rows) =========================
     p0 = cs2 * mu0                                            # e -2..tj+1
     u1 = u0 + jnp.where(
@@ -500,6 +571,8 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int):
     seed = jnp.where(mask_c, seed - ww1k0, seed)
     u1c = u1[sl_c]
     t1new = theta(t_c, u1c, v1[1 : tj + 1], v1[2 : tj + 2], ww1v)
+    if fuse_w:
+        w_st, pp_st = w_step(w_st, pp_st, t1new)
 
     # ================== step 2 (center rows) ===========================
     p1 = cs2 * mu1                                            # e -1..tj
@@ -520,12 +593,17 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int):
     ww2v = ww_scan(steps2, seed)
     seed = jnp.where(mask_c, seed - ww1k0, seed)
     t2 = theta(t1new, u2, v2[0:tj], v2[1 : tj + 1], ww2v)
+    if fuse_w:
+        w_st, pp_st = w_step(w_st, pp_st, t2)
 
     t_out[:] = t2
     u_out[:] = u2
     v_out[:] = v2[0:tj]
     mu_out[:] = mu2
     wwrow_out[:] = seed
+    if fuse_w:
+        w_out[:] = w_st
+        pp_out[:] = pp_st
 
 
 def coupled_lean_kwargs(padded: dict, rdx, rdy, dts) -> dict:
@@ -556,6 +634,9 @@ def coupled_two_step_pallas(
     dnw, fnm, fnp, rdnw,
     window, offsets=(0, 0),
     k0: int, k1: int, kde: int,
+    fuse_w: bool = False,            # run the implicit w/pp substep too
+    w=None, pp=None, rdn=None,       # vertical-acoustics state (fuse_w)
+    cw: float = 0.0, gw: float = 0.0, epssm=0.0,
     tj: int | None = None,
     vmem_limit: int | None = None,
     interpret: bool = False,
@@ -600,8 +681,37 @@ def coupled_two_step_pallas(
                         cu, cv, msft2))}
     kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
 
+    if fuse_w:
+        if w is None or pp is None or rdn is None:
+            raise ValueError("fuse_w requires w, pp and rdn")
+        w3a = jnp.asarray(w, F)
+        pp3a = jnp.asarray(pp, F)
+        # Thomas coefficients — FP association copied from the single-
+        # step wrapper (advance_mu_t_pallas.advance_mu_t_pallas)
+        dts_f = jnp.asarray(dts, F)
+        epssm_f = jnp.asarray(epssm, F)
+        c_w = jnp.asarray(cw, F) * dts_f
+        g_t = dts_f * jnp.asarray(gw, F)
+        beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
+        alfa_h = jnp.float32(1.0) - beta_h
+        cb = c_w * beta_h
+        rdn_a = jnp.asarray(rdn, F)
+        rdnw_a = jnp.asarray(rdnw, F)
+        kv = jnp.arange(K)
+        kintv = (kv > k0) & (kv <= k1)
+        a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
+                          jnp.float32(0.0))
+        b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a,
+                          jnp.float32(0.0))
+        diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
+        crdn_vec = c_w * rdn_a
+        erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+    else:
+        c_w = g_t = 0.0
+
     scal = jnp.stack([jnp.asarray(s, F)
-                      for s in (rdx, rdy, dts, cs2)])[None, :]
+                      for s in (rdx, rdy, dts, cs2, epssm, c_w, g_t)
+                      ])[None, :]
     i0, i1, j0, j1 = window
     j_off, i_off = offsets
     win = jnp.stack([jnp.asarray(x, jnp.int32)
@@ -614,12 +724,16 @@ def coupled_two_step_pallas(
     r3 = functools.partial(_row_view, tj, K, I)
     r2 = functools.partial(_row_view, tj, 1, I)
     sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    ssc = pl.BlockSpec((1, 4), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    smk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    ssc = pl.BlockSpec((1, 7), lambda g: (0, 0), memory_space=pltpu.SMEM)
     swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
     LO2, LO, HI, HI2 = -1, 0, tj + 1, tj + 2   # ring-1-relative shifts
 
+    nw = 2 if fuse_w else 0
     in_specs = [ssc, swin]
     in_specs += [c3] * 6
+    if fuse_w:
+        in_specs += [c3, c3]                          # w, pp
     in_specs += [r3(LO), r3(HI), r3(LO), r3(HI), r3(HI2),
                  r3(LO), r3(HI), r3(LO), r3(HI)]
     in_specs += [c2] * 9
@@ -627,8 +741,12 @@ def coupled_two_step_pallas(
                  r2(LO), r2(HI), r2(LO), r2(HI),
                  r2(LO), r2(HI), r2(LO), r2(HI), r2(HI2)]
     in_specs += [sk] * 4
+    if fuse_w:
+        in_specs += [smk, smk, smk, sk, sk]           # a, b, diag, crdn, erdn
 
     operands = [scal, win, *f3]
+    if fuse_w:
+        operands += [w3a, pp3a]
     operands += [d3["u"], d3["u"], d3["v"], d3["v"], d3["v"],
                  d3["t_1"], d3["t_1"], d3["dvdxi_const"], d3["dvdxi_const"]]
     operands += [f2[n] for n in f2names]
@@ -636,38 +754,52 @@ def coupled_two_step_pallas(
                  f2["mu_tend"], f2["mu_tend"], f2["msft2"], f2["msft2"],
                  f2["cu"], f2["cu"], f2["cv"], f2["cv"], f2["cv"]]
     operands += kvecs
+    if fuse_w:
+        operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
+                     crdn_vec[None, :], erdn_vec[None, :]]
 
     big = jax.ShapeDtypeStruct((J2, K, I), F)
     thin = jax.ShapeDtypeStruct((J2, 1, I), F)
     out_specs = [c3, c3, c3, c2, c2]
     out_shape = [big, big, big, thin, thin]
-    # t and the seed row are center-read-only -> aliased; u/v/mu have
-    # backward row views (see the module comment) -> fresh buffers
+    if fuse_w:
+        out_specs += [c3, c3]
+        out_shape += [big, big]
+    # t, w, pp and the seed row are center-read-only -> aliased; u/v/mu
+    # have backward row views (see the module comment) -> fresh buffers
     idx_t = 2 + names3.index("t")
-    idx_wwrow = 2 + 6 + 9
+    idx_wwrow = 2 + 6 + nw + 9
     aliases = {idx_t: 0, idx_wwrow: 4}
+    if fuse_w:
+        aliases[2 + 6] = 5       # w
+        aliases[2 + 6 + 1] = 6   # pp
 
-    kernel = functools.partial(_coupled2_kernel, k0=k0, k1=k1, tj=tj)
-    t_o, u_o, v_o, mu_o, wwrow_o = pl.pallas_call(
+    kernel = functools.partial(_coupled2_kernel, k0=k0, k1=k1, tj=tj,
+                               fuse_w=fuse_w)
+    outs = pl.pallas_call(
         kernel,
         grid=((J2 - 4) // tj,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, I), F)],
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (3 if fuse_w else 1),
         input_output_aliases=aliases,
         compiler_params=_compiler_params(vmem_limit),
         interpret=interpret,
     )(*operands)
+    t_o, u_o, v_o, mu_o, wwrow_o = outs[:5]
 
     def patch(out, inp):
         out = out.at[0:2].set(inp[0:2])
         return out.at[J2 - 2 : J2].set(inp[J2 - 2 : J2])
 
-    return {
+    res = {
         "t": t_o,
         "u": patch(u_o, d3["u"]),
         "v": patch(v_o, d3["v"]),
         "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)),
         "ww_row": wwrow_o[:, 0, :],
     }
+    if fuse_w:
+        res["w"], res["pp"] = outs[5], outs[6]
+    return res
