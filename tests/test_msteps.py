@@ -225,3 +225,20 @@ def test_coupled_blocked_with_w():
         np.testing.assert_allclose(
             emb[name], gold[name], rtol=2e-5, atol=2e-6 * scale,
             err_msg=name)
+
+
+def test_blocked_fast_mode():
+    """fast mode (log-depth ww cumsum + linear wind folding) is
+    tolerance-equal to the exact blocked scan and to the golden loop —
+    the same re-association class the XLA tier documents."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    exact = _run(case, nx, ny, nz, (1, 1), 9, 4)
+    fast = _run(case, nx, ny, nz, (1, 1), 9, 4, fast=True)
+    assert set(exact) == set(fast)
+    for k in sorted(exact):
+        a, b = np.asarray(exact[k]), np.asarray(fast[k])
+        assert not np.array_equal(a, b) or np.all(a == b)  # sanity
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)

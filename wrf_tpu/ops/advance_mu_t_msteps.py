@@ -55,7 +55,7 @@ F = jnp.float32
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
-            has_wscale: bool, ablate: str = ""):
+            has_wscale: bool, fast: bool = False, ablate: str = ""):
     it = iter(refs)
     scal_ref = next(it)   # (1, 6) f32: rdx, rdy, dts, epssm, w0, dw
     win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
@@ -144,44 +144,78 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         )
         return 0
 
+    if fast:
+        # ---- fast mode: re-associated f32 (tolerance-gated like the
+        # XLA tier; NOT bit-compatible with the sequential path).  The
+        # winds enter every term LINEARLY, so the dynamic flux
+        # divergence and the whole horizontal theta stencil are
+        # precomputed once from the unscaled winds and scaled per step
+        # — per-step phase A/B shrink to a handful of FMAs.
+        v_p0 = shift_up(v0, v_hi0)
+        dvdxi_dyn = msft2 * (
+            rdy * (v_p0 - v0) + rdx * (roll_i(u0, -1) - u0))
+        fy0 = v_p0 * (t1_jp + t1) - v0 * (t1 + t1_jm)
+        fx0 = roll_i(u0, -1) * (t1_ip + t1) - u0 * (t1 + t1_im)
+        horiz0 = msftx * (F(0.5) * rdy * fy0 + F(0.5) * rdx * fx0)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+
     for s in range(n_inner):
         # per-substep wind scale, multiplied elementwise BEFORE the flux
         # differences — the same association as the single-step kernel's
         # on-load scaling, so the blocked loop stays bit-compatible
         if has_wscale:
             ws = scal_ref[0, 4] + F(s) * scal_ref[0, 5]
-            u = u0 * ws
-            v = v0 * ws
-            v_hi = v_hi0 * ws
-        else:
-            u, v, v_hi = u0, v0, v_hi0
+        if not fast:
+            if has_wscale:
+                u = u0 * ws
+                v = v0 * ws
+                v_hi = v_hi0 * ws
+            else:
+                u, v, v_hi = u0, v0, v_hi0
+            v_p = shift_up(v, v_hi)
 
         # Phase A: dynamic mass-flux divergence over the static fold
-        v_p = shift_up(v, v_hi)
-        dvdxi = dvdxic + msft2 * (
-            rdy * (v_p - v) + rdx * (roll_i(u, -1) - u)
-        )
+        if fast:
+            dvdxi = dvdxic + (ws * dvdxi_dyn if has_wscale else dvdxi_dyn)
+        else:
+            dvdxi = dvdxic + msft2 * (
+                rdy * (v_p - v) + rdx * (roll_i(u, -1) - u)
+            )
         dmdt = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi, F(0.0)),
                        axis=1, keepdims=True)
         tend = dmdt + mutend
         mu_st = jnp.where(mask, mu_st + dts * tend, mu_st)
 
-        # ww vertical scan (k-ascending, in-place over scratch)
+        # ww vertical scan
         steps = (-dnw * (dmdt + dvdxi + mutend)) * inv_msfty
-        scan_ref[:] = roll_k(steps, 1)
-        scan_ref[:, k0 : k0 + 1, :] = seed
-        if "noscan" not in ablate:   # perf-debug ablation (WRF_TPU_ABLATE)
-            jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
-        ww_new = jnp.where(kmask_upd & mask, scan_ref[:], F(0.0))
+        if fast:
+            # log-depth masked Hillis-Steele cumsum over k (in-value,
+            # no scratch): ww(k) = seed + sum_{m<k} step(m)
+            y = jnp.where(kmask_w, roll_k(steps, 1), F(0.0))
+            if "noscan" not in ablate:
+                d = 1
+                while d < K:
+                    y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
+                    d *= 2
+            ww_new = jnp.where(kmask_upd & mask, seed + y, F(0.0))
+        else:
+            scan_ref[:] = roll_k(steps, 1)
+            scan_ref[:, k0 : k0 + 1, :] = seed
+            if "noscan" not in ablate:   # perf-debug (WRF_TPU_ABLATE)
+                jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+            ww_new = jnp.where(kmask_upd & mask, scan_ref[:], F(0.0))
         seed = jnp.where(mask, seed - ww1k0, seed)
 
         # Phase B: theta
         t_half = t_st + tconst
         wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
         vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
-        fy = v_p * (t1_jp + t1) - v * (t1 + t1_jm)
-        fx = roll_i(u, -1) * (t1_ip + t1) - u * (t1 + t1_im)
-        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
+        if fast:
+            horiz = ws * horiz0 if has_wscale else horiz0
+        else:
+            fy = v_p * (t1_jp + t1) - v * (t1 + t1_jm)
+            fx = roll_i(u, -1) * (t1_ip + t1) - u * (t1 + t1_im)
+            horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
         t_new = t_half - (dts * msfty) * (horiz + vert)
         if "nophaseb" in ablate:     # perf-debug ablation
             t_new = t_half
@@ -223,6 +257,7 @@ def advance_mu_t_multistep_pallas(
     k0: int, k1: int, kde: int,
     n_inner: int = 2,
     wind_scale0=1.0, wind_scale_step=0.0,
+    fast: bool = False,
     tj: int | None = None,
     vmem_limit: int | None = None,
     interpret: bool = False,
@@ -240,6 +275,11 @@ def advance_mu_t_multistep_pallas(
     The wind scale for inner step ``s`` is ``wind_scale0 + s *
     wind_scale_step`` (both may be traced scalars), matching the
     surrounding loop's per-substep ramp.
+
+    ``fast`` switches to re-associated f32 arithmetic (log-depth ww
+    cumsum; dynamic flux/theta stencils precomputed once and scaled per
+    step) — NOT bit-compatible with the sequential path, held to the
+    same fp32 tolerances as the XLA tier's documented re-associations.
     """
     del epssm, kde  # unused by the scan substep; kept for API parity
     J, K, I = jnp.shape(t)
@@ -315,6 +355,7 @@ def advance_mu_t_multistep_pallas(
     import os
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                n_inner=n_inner, has_wscale=has_wscale,
+                               fast=fast,
                                ablate=os.environ.get("WRF_TPU_ABLATE", ""))
     t_o, mu_o, wwrow_o = pl.pallas_call(
         kernel,

@@ -110,13 +110,16 @@ class ShardedAdvanceMuT:
                  flags: ConfigFlags, n_steps: int = 1,
                  kernel: str = "pallas", vary_winds: bool = False,
                  tj: int | None = None, interpret: bool | None = None,
-                 const_dtype=None, inner_steps: int = 1):
+                 const_dtype=None, inner_steps: int = 1,
+                 fast: bool = False):
         """``inner_steps`` > 1 temporally blocks the scan: blocks of S
         substeps run as ONE fused Pallas pass (ops/advance_mu_t_msteps.py
         — constants stream from HBM once per S substeps instead of once
         per substep), with any remainder and the final substep on the
         single-step kernel.  Pallas kernel only; bit-compatible with
-        ``inner_steps=1``."""
+        ``inner_steps=1``.  ``fast`` additionally re-associates the
+        blocked substeps' f32 arithmetic (log-depth ww cumsum, linear
+        wind folding) — tolerance-class accuracy, not bit-compatible."""
         if const_dtype is not None and kernel != "pallas":
             raise ValueError("const_dtype requires the pallas kernel")
         if inner_steps < 1:
@@ -266,6 +269,7 @@ class ShardedAdvanceMuT:
                         k0=k0, k1=k1, kde=nz - 1, n_inner=S,
                         wind_scale0=wscale_at(b * S),
                         wind_scale_step=(1e-7 if vary_winds else 0.0),
+                        fast=fast,
                         tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
