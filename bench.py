@@ -172,7 +172,7 @@ def main():
         ("coupled 512x512x50", 512, 512, 50,
          True, False, False, 2, (50, 250)),
         ("coupled+w 512x512x50", 512, 512, 50,
-         True, True, False, 1, (50, 250)),
+         True, True, False, 2, (50, 250)),
         ("coupled CONUS 1500x1500x50",
          1500, 1500, 50, True, False, False, 1, (20, 80)),
         # opt-in reduced-precision constant streams (state/outputs f32)

@@ -26,7 +26,7 @@ from wrf_tpu.utils.health import wait_healthy_inline
 
 
 def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None,
-          coupled=False, with_w=False):
+          coupled=False, with_w=False, fast=False):
     if coupled:
         from wrf_tpu.models.small_step import SmallStepLoop
 
@@ -37,7 +37,7 @@ def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None,
     else:
         loop = ShardedAdvanceMuT(
             mesh, nx, ny, nz, case.flags, n_steps=steps, vary_winds=True,
-            inner_steps=inner, tj=tj,
+            inner_steps=inner, tj=tj, fast=fast,
             const_dtype=jnp.bfloat16 if bf16 else None)
     arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     sc = (case.rdx, case.rdy, case.dts, case.epssm)

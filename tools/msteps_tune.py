@@ -21,11 +21,11 @@ from bench_msteps import build  # noqa: E402  (same tools dir)
 
 
 def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, coupled=False,
-             with_w=False, n1=50, n2=250):
+             with_w=False, fast=False, n1=50, n2=250):
     times = {}
     for steps in (n1, n2):
         run = build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=tj,
-                    coupled=coupled, with_w=with_w)
+                    coupled=coupled, with_w=with_w, fast=fast)
         cs = run()
         assert np.isfinite(cs), f"non-finite checksum {cs}"
         best = float("inf")
@@ -46,20 +46,19 @@ def main():
     pts = nx * ny * nz
 
     exps = [
-        # (label, inner, bf16, tj, coupled, ablate, with_w)
-        ("mu_t f32 S=8 tj=5", 8, False, 5, False, "", False),
-        ("mu_t f32 S=8 tj=6", 8, False, 6, False, "", False),
-        ("mu_t f32 S=8 (default tj)", 8, False, None, False, "", False),
-        ("mu_t bf16 S=8 (default tj)", 8, True, None, False, "", False),
-        ("coupled+w f32 S=2", 2, False, None, True, "", True),
-        ("coupled+w bf16 S=2", 2, True, None, True, "", True),
-        ("coupled+w f32 S=1 (ref)", 1, False, None, True, "", True),
+        # (label, inner, bf16, tj, coupled, ablate, with_w, fast)
+        ("mu_t f32 S=8 exact", 8, False, None, False, "", False, False),
+        ("mu_t f32 S=8 fast", 8, False, None, False, "", False, True),
+        ("mu_t f32 S=16 fast", 16, False, None, False, "", False, True),
+        ("mu_t bf16 S=8 fast", 8, True, None, False, "", False, True),
+        ("mu_t bf16 S=16 fast", 16, True, None, False, "", False, True),
+        ("mu_t f32 S=16 fast tj=4", 16, False, 4, False, "", False, True),
     ]
-    for label, inner, bf16, tj, coupled, ablate, with_w in exps:
+    for label, inner, bf16, tj, coupled, ablate, with_w, fast in exps:
         os.environ["WRF_TPU_ABLATE"] = ablate
         try:
             per = marginal(mesh, case, nx, ny, nz, inner, bf16, tj=tj,
-                           coupled=coupled, with_w=with_w)
+                           coupled=coupled, with_w=with_w, fast=fast)
             print(f"{label}: {per*1e3:.4f} ms/substep "
                   f"({pts/per/1e9:.2f} G pts/s)", flush=True)
         except Exception as e:

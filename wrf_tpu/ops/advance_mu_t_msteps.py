@@ -234,17 +234,18 @@ def multistep_tile_params(K: int, ni_loc: int, tj: int | None = None,
     (see advance_mu_t_pallas.sharded_tile_params); the stream budget adds
     the blocked loop's extra LIVE invariants (t1 neighbor views + interp
     + dvdxi_const all stay resident across the S steps) on top of the
-    operand streams.  streams=72 is MEASURED (tools/msteps_tune.py,
-    512x512x50, S=8): it lands tj=7 at 0.3685 ms/substep vs tj=9's
-    0.3770 and tj=12's 0.4007 — past S=8 the kernel is compute-bound
-    (ablations: scan ~0.125, phase B ~0.115, streams ~0.08 ms), so
-    smaller tiles that keep scoped VMEM low win.  ``const_bf16`` no
-    longer changes the pick: both precisions sit on the same
-    compute-bound floor (bf16 S=8 measured 0.3798 vs f32 0.3770)."""
+    operand streams.  streams=84 is MEASURED (tools/msteps_tune.py,
+    512x512x50, S=8): it lands tj=6, the best of the chip tj sweep
+    (tj=6: 0.3585 ms/substep; tj=5: 0.3700; tj=7: 0.3685-0.4217 across
+    runs; tj=9: 0.3770; tj=12: 0.4007) — past S=8 the kernel is
+    compute-bound (ablations: scan ~0.125, phase B ~0.115, streams
+    ~0.08 ms), so smaller tiles that keep scoped VMEM low win.
+    ``const_bf16`` no longer changes the pick: both precisions sit on
+    the same compute-bound floor."""
     from .advance_mu_t_pallas import sharded_tile_params
 
     del const_bf16
-    return sharded_tile_params(K, ni_loc, tj, streams=72)
+    return sharded_tile_params(K, ni_loc, tj, streams=84)
 
 
 def advance_mu_t_multistep_pallas(
