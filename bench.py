@@ -7,9 +7,10 @@ Prints ONE JSON line:
 The headline record (top-level value) is the mu_t-only device-resident loop
 at 512x512x50 — the same metric every round reports, so BENCH_r*.json stays
 round-over-round comparable.  From round 2 the loop is temporally blocked
-(inner_steps=8: 8 substeps per Pallas pass, bit-equal to the unblocked
-scan — ops/advance_mu_t_msteps.py); the "S=1" row tracks the unblocked
-number for continuity.  ``configs`` adds machine-readable records for
+(S substeps per Pallas pass — ops/advance_mu_t_msteps.py): the headline
+runs S=16 fast mode (re-associated f32, tolerance class of the XLA
+tier), the "exact S=8" row tracks the bit-equal blocked scan, and the
+"S=1" row tracks the unblocked number for continuity.  ``configs`` adds machine-readable records for
 the flagship coupled substep (advance_uv + advance_mu_t fused), the
 coupled+w stack (adds the vertically-implicit w/pp substep), and the
 CONUS-scale 1500x1500x50 coupled run.
@@ -58,7 +59,7 @@ def _make_run(loop, arrays, scalars):
 
 
 def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
-           inner_steps=1):
+           inner_steps=1, fast=False):
     from wrf_tpu.models.small_step import SmallStepLoop
     from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
@@ -71,19 +72,21 @@ def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
     else:
         loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                  n_steps=steps, vary_winds=True,
-                                 const_dtype=cd, inner_steps=inner_steps)
+                                 const_dtype=cd, inner_steps=inner_steps,
+                                 fast=fast)
         arrays = loop.prepare(case_to_domain(case))
     return _make_run(loop, arrays,
                      (case.rdx, case.rdy, case.dts, case.epssm))
 
 
 def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
-                   coupled=False, with_w=False, bf16=False, inner_steps=1):
+                   coupled=False, with_w=False, bf16=False, inner_steps=1,
+                   fast=False):
     """per-step seconds by the two-step-count difference method."""
     times = {}
     for steps in (n1, n2):
         run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16,
-                     inner_steps)
+                     inner_steps, fast)
         checksum = run()  # compile + warm up (also proves non-NaN execution)
         assert np.isfinite(checksum), f"non-finite checksum at steps={steps}"
         best = float("inf")
@@ -163,9 +166,14 @@ def main():
         # (name, nx, ny, nz, coupled, with_w, bf16, inner_steps, (n1, n2))
         # temporal blocking (inner_steps=S, ops/advance_mu_t_msteps.py)
         # is ON for the headline and coupled configs — it computes the
-        # identical substep sequence (bit-equal for mu_t; <=2 ulp/substep
-        # for coupled), S substeps per HBM pass
+        # identical substep sequence (bit-equal for mu_t exact mode;
+        # <=2 ulp/substep for coupled), S substeps per HBM pass.  The
+        # headline additionally uses fast mode (re-associated f32:
+        # log-depth ww cumsum + wind-linear folding — the same
+        # tolerance class as the XLA tier; "fast": true in the record)
         ("mu_t 512x512x50", 512, 512, 50,
+         False, False, False, "16f", (50, 250)),
+        ("mu_t 512x512x50 exact S=8", 512, 512, 50,
          False, False, False, 8, (50, 250)),
         ("mu_t 512x512x50 S=1", 512, 512, 50,
          False, False, False, 1, (50, 250)),
@@ -185,12 +193,14 @@ def main():
         if time.perf_counter() - t_start > budget_s:
             records.append({"config": name, "skipped": "time budget"})
             continue
+        fast = isinstance(inner, str) and inner.endswith("f")
+        inner = int(str(inner).rstrip("f"))
         case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
         pts = nx * ny * nz
         try:
             per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
                                  coupled=coupled, with_w=with_w, bf16=bf16,
-                                 inner_steps=inner)
+                                 inner_steps=inner, fast=fast)
             records.append({
                 "config": name,
                 "ms_per_step": round(per * 1e3, 4),
@@ -198,6 +208,7 @@ def main():
                 "vs_baseline": round(pts / per / REFERENCE_GPS, 3),
                 "method": "marginal",
                 **({"inner_steps": inner} if inner > 1 else {}),
+                **({"fast": True} if fast else {}),
             })
         except Exception as e:  # keep earlier records if a config fails
             records.append({"config": name,

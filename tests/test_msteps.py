@@ -197,9 +197,9 @@ def test_coupled_inner_steps_validation():
     with pytest.raises(ValueError):
         SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
                       smdiv=0.1)
-    mesh4 = make_mesh(jax.devices()[:4], (2, 2))
     with pytest.raises(ValueError):
-        SmallStepLoop(mesh4, 16, 12, 8, case.flags, inner_steps=2)
+        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
+                      halo_backend="rdma", force_exchange=True)
 
 
 def test_coupled_blocked_with_w():
@@ -239,6 +239,33 @@ def test_blocked_fast_mode():
     for k in sorted(exact):
         a, b = np.asarray(exact[k]), np.asarray(fast[k])
         assert not np.array_equal(a, b) or np.all(a == b)  # sanity
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4)])
+def test_coupled_blocked_on_mesh(mesh_shape):
+    """Multi-chip blocked coupled pairs: ring-2 halos (halo.widen_ring)
+    with a width-2 exchange per pair — same bytes as the per-substep
+    width-1 exchange, half the collective launches.  Must match the
+    single-step scan on the same mesh at the tier tolerances."""
+    from wrf_tpu.models.small_step import SmallStepLoop
+
+    nx, ny, nz = 48, 40, 10
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=11)
+    dom = case_to_domain(case)
+    outs = {}
+    for inner in (1, 2):
+        mesh = make_mesh(
+            jax.devices()[: mesh_shape[0] * mesh_shape[1]], mesh_shape)
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=7,
+                             inner_steps=inner)
+        arrays = loop.prepare(dom)
+        outs[inner] = loop(arrays, case.rdx, case.rdy, case.dts,
+                           case.epssm)
+    for k in sorted(outs[1]):
+        a, b = np.asarray(outs[1][k]), np.asarray(outs[2][k])
         scale = max(float(np.max(np.abs(a))), 1.0)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=k)

@@ -148,10 +148,11 @@ class SmallStepLoop:
                 raise ValueError("inner_steps=2 does not support smdiv "
                                  "yet (mudf would need its own extended "
                                  "rows)")
-            if (mesh.shape["j"] > 1 or mesh.shape["i"] > 1
-                    or force_exchange):
-                raise ValueError("inner_steps=2 requires a single-shard "
-                                 "mesh (1-cell halo ring)")
+            if halo_backend == "rdma" and (
+                    mesh.shape["j"] > 1 or force_exchange):
+                raise ValueError("inner_steps=2 uses the width-2 "
+                                 "ppermute exchange; the RDMA backend "
+                                 "covers the single-step loop")
         self._force_exchange = force_exchange
         self.mesh = mesh
         self.domain = (nx, ny, nz)
@@ -232,6 +233,7 @@ class SmallStepLoop:
             if kernel == "pallas":
                 lean_kw = lean_kwargs(padded, scalars["rdx"],
                                       scalars["rdy"], scalars["dts"], k0, k1)
+                padded_f32 = dict(padded)   # pre-cast view (blocked path)
                 if const_dtype is not None:
                     # reduced-precision constant streams (see the kernel's
                     # _ingest3): cast ONCE per invocation, outside the
@@ -415,37 +417,86 @@ class SmallStepLoop:
             rem = n_steps - 1
             if inner_steps > 1 and rem >= 2:
                 # ---- temporally-blocked pairs (trapezoid kernel) ------
-                # ring-2 padding once, outside the scan; constants padded
-                # alongside so every operand shares the (J2, ...) layout
+                # ring-2 layout (halo.widen_ring: [lo2, lo1, int, hi1,
+                # hi2, alignment]) built ONCE outside the scan; on
+                # sharded axes the outer cells hold neighbor data and
+                # the pair-carried mu/u/v halos are refreshed per pair
+                # with a width-2 exchange — same bytes as the
+                # per-substep width-1 exchange, HALF the collective
+                # launches
                 n_blocks = rem // 2
-                cl_kw = coupled_lean_kwargs(
-                    padded, scalars["rdx"], scalars["rdy"], scalars["dts"])
+                jn = "j" if j_sh else None
 
-                def p3(x):
-                    return jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+                def w3(x):
+                    x = halo.widen_ring(x, 0, jn, nj_loc)
+                    if i_sh:   # unsharded i keeps the ring-1 lane layout
+                        x = halo.widen_ring(x, 2, "i", ni_loc)
+                    return x
 
-                def p2(x):
-                    return jnp.pad(x, ((1, 1), (0, 0)))
+                def w2(x):
+                    x = halo.widen_ring(x, 0, jn, nj_loc)
+                    if i_sh:
+                        x = halo.widen_ring(x, 1, "i", ni_loc)
+                    return x
 
+                # constants are computed ON the ring-2 widened f32 inputs
+                # (not widened after computing): dvdxi_const's j/i rolls
+                # would otherwise wrap into garbage at the hi1 halo cell,
+                # which the trapezoid READS on interior shards.  bf16
+                # mode then narrows the results, matching the sequential
+                # path's compute-f32-then-quantize order.
+                wide = {n: (w3(padded_f32[n]) if padded_f32[n].ndim == 3
+                            else w2(padded_f32[n]))
+                        for n in ("ww_1", "u_1", "v_1", "ft", "t_1",
+                                  "muu", "muv", "msfuy", "msfvx_inv",
+                                  "msftx", "msfty")}
+                wide.update({n: padded[n]
+                             for n in ("fnm", "fnp", "rdnw", "dnw")})
+                lean2 = lean_kwargs(wide, scalars["rdx"],
+                                    scalars["rdy"], scalars["dts"],
+                                    k0, k1)
+                cl2 = coupled_lean_kwargs(wide, scalars["rdx"],
+                                          scalars["rdy"], scalars["dts"])
                 c2const = {
-                    "t_1": p3(padded["t_1"]),
-                    "tconst": p3(lean_kw["tconst"]),
-                    "dvdxi_const": p3(lean_kw["dvdxi_const"]),
-                    "ww1_k0": p2(lean_kw["ww1_k0"]),
-                    "mu_tend": p2(padded["mu_tend"]),
-                    "msftx": p2(padded["msftx"]),
-                    "msfty": p2(padded["msfty"]),
-                    "cu": p2(cl_kw["cu"]), "cv": p2(cl_kw["cv"]),
-                    "msft2": p2(cl_kw["msft2"]),
+                    "t_1": wide["t_1"],
+                    "tconst": lean2["tconst"],
+                    "dvdxi_const": lean2["dvdxi_const"],
+                    "ww1_k0": lean2["ww1_k0"],
+                    "mu_tend": w2(padded["mu_tend"]),
+                    "msftx": wide["msftx"],
+                    "msfty": wide["msfty"],
+                    "cu": cl2["cu"], "cv": cl2["cv"],
+                    "msft2": cl2["msft2"],
                 }
-                state2 = {k: (p3(v) if v.ndim == 3 else p2(v))
+                if const_dtype is not None:
+                    for n in ("t_1", "tconst", "dvdxi_const"):
+                        c2const[n] = c2const[n].astype(const_dtype)
+                state2 = {k: (w3(v) if v.ndim == 3 else w2(v))
                           for k, v in state.items()}
+                offs2 = (j_off, i_off - (1 if i_sh else 0))
 
                 w_kw = ({"fuse_w": True, "rdn": padded["rdn"],
                          "cw": cw, "gw": gw, "epssm": scalars["epssm"]}
                         if with_w else {})
 
+                def pair_refresh(st):
+                    """mu/u/v changed last pair: refresh their ring-2
+                    halos (mu is read two cells deep by the trapezoid;
+                    u/v one — the width-2 exchange covers both)."""
+                    st = dict(st)
+                    for n2, ax_j, ax_i in (("mu", 0, 1), ("u", 0, 2),
+                                           ("v", 0, 2)):
+                        x = st[n2]
+                        if j_sh:
+                            x = halo.refresh_axis2(x, ax_j, "j", nj_loc)
+                        if i_sh:
+                            x = halo.refresh_axis2(x, ax_i, "i", ni_loc)
+                        st[n2] = x
+                    return st
+
                 def block_body(st, _):
+                    if j_sh or i_sh:
+                        st = pair_refresh(st)
                     out2 = coupled_two_step_pallas(
                         u=st["u"], v=st["v"], t=st["t"], mu=st["mu"],
                         ww_row=st["ww_row"], **c2const,
@@ -453,7 +504,7 @@ class SmallStepLoop:
                         dts=scalars["dts"], cs2=cs2,
                         dnw=padded["dnw"], fnm=padded["fnm"],
                         fnp=padded["fnp"], rdnw=padded["rdnw"],
-                        window=(i0, i1, j0, j1), offsets=offs,
+                        window=(i0, i1, j0, j1), offsets=offs2,
                         k0=k0, k1=k1, kde=nz - 1, **w_kw,
                         **({"w": st["w"], "pp": st["pp"]} if with_w
                            else {}),
@@ -464,7 +515,23 @@ class SmallStepLoop:
 
                 state2, _ = jax.lax.scan(block_body, state2,
                                          length=n_blocks)
-                state = {k: v[1:-1] for k, v in state2.items()}
+
+                def strip3(v):
+                    v = jnp.concatenate([v[1 : nj_loc + 3],
+                                         v[nj_loc + 4 :]], axis=0)
+                    if i_sh:
+                        v = v[:, :, 1 : ni_loc + 3]
+                    return v
+
+                def strip2(v):
+                    v = jnp.concatenate([v[1 : nj_loc + 3],
+                                         v[nj_loc + 4 :]], axis=0)
+                    if i_sh:
+                        v = v[:, 1 : ni_loc + 3]
+                    return v
+
+                state = {k: (strip3(v) if v.ndim == 3 else strip2(v))
+                         for k, v in state2.items()}
                 rem -= n_blocks * 2
             if rem > 0:
                 def body(state, _):

@@ -78,6 +78,61 @@ def refresh_axis(xp: jax.Array, axis: int, axis_name: str,
     return lax.dynamic_update_slice(xp, from_next, starts_hi)
 
 
+# ------------------------------------------------------------------ #
+# Width-2 (ring-2) halos — the temporally-blocked coupled pairs need
+# mu two cells deep (models/small_step.py): a pair of substeps advances
+# information two cells, so the exchange runs HALF as often at TWICE the
+# width — same bytes as the per-substep width-1 exchange, half the
+# collective launches.
+# ------------------------------------------------------------------ #
+def widen_ring(xp: jax.Array, axis: int, axis_name: str | None,
+               n_interior: int) -> jax.Array:
+    """Grow an ALREADY ring-1-padded block to ring-2 along ``axis``.
+
+    Ring-2 layout (the blocked wrapper's contract): ``[lo2, lo1,
+    interior(n), hi1, hi2, <alignment padding>]`` — both high halo cells
+    sit ADJACENT to the interior, before any alignment padding, so the
+    stencil adjacency ``owned_last+1 = hi1``, ``hi1+1 = hi2`` holds for
+    interior shards.  The outer cells hold the neighbors' second-from-
+    edge interior cells when ``axis_name`` is given (sharded axis),
+    zeros otherwise (out-of-window, mask-protected)."""
+    n = n_interior
+    if axis_name is None:
+        zshape = list(xp.shape)
+        zshape[axis] = 1
+        z = jnp.zeros(zshape, xp.dtype)
+        lo2, hi2 = z, z
+    else:
+        # interior cell i sits at ring-1 index 1+i: the outer-low cell is
+        # the previous shard's interior n-2 (its index n-1); outer-high
+        # is the next shard's interior 1 (its index 2)
+        lo2_src = lax.slice_in_dim(xp, n - 1, n, axis=axis)
+        hi2_src = lax.slice_in_dim(xp, 2, 3, axis=axis)
+        lo2 = lax.ppermute(lo2_src, axis_name, _perm_shift(axis_name, +1))
+        hi2 = lax.ppermute(hi2_src, axis_name, _perm_shift(axis_name, -1))
+    head = lax.slice_in_dim(xp, 0, n + 2, axis=axis)   # lo1+interior+hi1
+    tail = lax.slice_in_dim(xp, n + 2, xp.shape[axis], axis=axis)  # padding
+    return jnp.concatenate([lo2, head, hi2, tail], axis=axis)
+
+
+def refresh_axis2(xp: jax.Array, axis: int, axis_name: str,
+                  n_interior: int) -> jax.Array:
+    """Refresh ALL FOUR halo cells of a ring-2 block along ``axis`` from
+    the neighbors' two edge interior cells (owned cells sit at
+    ``[2, 2+n)``; halos at ``[0, 2)`` and ``[2+n, 4+n)`` — see
+    ``widen_ring`` for the layout)."""
+    n = n_interior
+    lo_int = lax.slice_in_dim(xp, 2, 4, axis=axis)
+    hi_int = lax.slice_in_dim(xp, n, n + 2, axis=axis)
+    from_prev = lax.ppermute(hi_int, axis_name, _perm_shift(axis_name, +1))
+    from_next = lax.ppermute(lo_int, axis_name, _perm_shift(axis_name, -1))
+    starts_lo = [0] * xp.ndim
+    starts_hi = [0] * xp.ndim
+    starts_hi[axis] = n + 2
+    xp = lax.dynamic_update_slice(xp, from_prev, starts_lo)
+    return lax.dynamic_update_slice(xp, from_next, starts_hi)
+
+
 def _ring_ids(axis_name: str, interpret: bool):
     """(next, prev, id_type) neighbor addressing for a ring along
     ``axis_name`` — MESH-coordinate dicts compiled (multi-axis meshes
