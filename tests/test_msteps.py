@@ -269,3 +269,17 @@ def test_coupled_blocked_on_mesh(mesh_shape):
         scale = max(float(np.max(np.abs(a))), 1.0)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=k)
+
+
+def test_coupled_blocked_fast_scan():
+    """Coupled pairs with the log-depth ww cumsum (fast=True): tolerance-
+    equal to the exact blocked path."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    exact = _run_coupled(case, nx, ny, nz, 7, 2)
+    fast = _run_coupled(case, nx, ny, nz, 7, 2, fast=True)
+    for k in sorted(exact):
+        a, b = np.asarray(exact[k]), np.asarray(fast[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)

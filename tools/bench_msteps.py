@@ -32,7 +32,7 @@ def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None,
 
         loop = SmallStepLoop(
             mesh, nx, ny, nz, case.flags, n_steps=steps,
-            inner_steps=inner, tj=tj, with_w=with_w,
+            inner_steps=inner, tj=tj, with_w=with_w, fast=fast,
             const_dtype=jnp.bfloat16 if bf16 else None)
     else:
         loop = ShardedAdvanceMuT(

@@ -47,12 +47,12 @@ def main():
 
     exps = [
         # (label, inner, bf16, tj, coupled, ablate, with_w, fast)
-        ("mu_t f32 S=8 exact", 8, False, None, False, "", False, False),
-        ("mu_t f32 S=8 fast", 8, False, None, False, "", False, True),
-        ("mu_t f32 S=16 fast", 16, False, None, False, "", False, True),
-        ("mu_t bf16 S=8 fast", 8, True, None, False, "", False, True),
-        ("mu_t bf16 S=16 fast", 16, True, None, False, "", False, True),
-        ("mu_t f32 S=16 fast tj=4", 16, False, 4, False, "", False, True),
+        ("coupled f32 S=2 fast", 2, False, None, True, "", False, True),
+        ("coupled bf16 S=2 fast", 2, True, None, True, "", False, True),
+        ("mu_t bf16 S=16 fast (re-probe)", 16, True, None, False, "",
+         False, True),
+        ("mu_t f32 S=24 fast", 24, False, None, False, "", False, True),
+        ("mu_t f32 S=32 fast", 32, False, None, False, "", False, True),
     ]
     for label, inner, bf16, tj, coupled, ablate, with_w, fast in exps:
         os.environ["WRF_TPU_ABLATE"] = ablate

@@ -118,7 +118,8 @@ class SmallStepLoop:
                  smdiv: float = 0.0, halo_backend: str = "ppermute",
                  force_exchange: bool = False,
                  tj: int | None = None, interpret: bool | None = None,
-                 const_dtype=None, inner_steps: int = 1):
+                 const_dtype=None, inner_steps: int = 1,
+                 fast: bool = False):
         """``halo_backend``: "ppermute" (XLA collectives; default) or
         "rdma" (Pallas ``make_async_remote_copy`` ring exchange along the
         j mesh axis, MESH-coordinate addressed — i-axis refreshes stay on
@@ -505,7 +506,7 @@ class SmallStepLoop:
                         dnw=padded["dnw"], fnm=padded["fnm"],
                         fnp=padded["fnp"], rdnw=padded["rdnw"],
                         window=(i0, i1, j0, j1), offsets=offs2,
-                        k0=k0, k1=k1, kde=nz - 1, **w_kw,
+                        k0=k0, k1=k1, kde=nz - 1, fast=fast, **w_kw,
                         **({"w": st["w"], "pp": st["pp"]} if with_w
                            else {}),
                         tj=tj_loc, vmem_limit=vmem_limit,

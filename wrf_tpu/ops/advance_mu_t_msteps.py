@@ -406,7 +406,8 @@ def advance_mu_t_multistep_pallas(
 # tolerance already covers).
 
 
-def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool):
+def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
+                     fast_scan: bool = False):
     it = iter(refs)
     scal_ref = next(it)   # (1, 7) f32: rdx, rdy, dts, cs2, epssm, c_w, g_t
     win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
@@ -518,7 +519,19 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool):
         )
         return 0
 
+    if fast_scan:
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+
     def ww_scan(steps, seed):
+        if fast_scan:
+            # log-depth masked cumsum (re-associated f32 — the coupled
+            # "fast" option; see the mu_t kernel's fast mode)
+            y = jnp.where(kmask_w, roll_k(steps, 1), F(0.0))
+            d = 1
+            while d < K:
+                y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
+                d *= 2
+            return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
         scan_ref[:] = roll_k(steps, 1)
         scan_ref[:, k0 : k0 + 1, :] = seed
         jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
@@ -679,6 +692,7 @@ def coupled_two_step_pallas(
     fuse_w: bool = False,            # run the implicit w/pp substep too
     w=None, pp=None, rdn=None,       # vertical-acoustics state (fuse_w)
     cw: float = 0.0, gw: float = 0.0, epssm=0.0,
+    fast: bool = False,              # log-depth ww cumsum (re-associated)
     tj: int | None = None,
     vmem_limit: int | None = None,
     interpret: bool = False,
@@ -817,7 +831,7 @@ def coupled_two_step_pallas(
         aliases[2 + 6 + 1] = 6   # pp
 
     kernel = functools.partial(_coupled2_kernel, k0=k0, k1=k1, tj=tj,
-                               fuse_w=fuse_w)
+                               fuse_w=fuse_w, fast_scan=fast)
     outs = pl.pallas_call(
         kernel,
         grid=((J2 - 4) // tj,),
