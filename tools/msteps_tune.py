@@ -53,6 +53,8 @@ def main():
          False, True),
         ("mu_t f32 S=24 fast", 24, False, None, False, "", False, True),
         ("mu_t f32 S=32 fast", 32, False, None, False, "", False, True),
+        ("mu_t f32 S=48 fast", 48, False, None, False, "", False, True),
+        ("coupled+w f32 S=2 fast", 2, False, None, True, "", True, True),
     ]
     for label, inner, bf16, tj, coupled, ablate, with_w, fast in exps:
         os.environ["WRF_TPU_ABLATE"] = ablate
