@@ -111,14 +111,14 @@ def test_driver_coupled_native_tier(tmp_path, small_case, capsys):
 def test_driver_all_tiers(tmp_path, small_case, capsys):
     """The side-by-side tier matrix covers the FULL tier set — single-substep
     tiers, both sharded tiers, the three coupled tiers and their +w variants,
-    the two bf16-const rows at their documented tolerance, plus the two
-    temporally-blocked rows — and every row PASSes, with the scalar tiers
-    bit-exact."""
+    the two bf16-const rows at their documented tolerance, plus the
+    temporally-blocked rows and their fast-mode variants — and every row
+    PASSes, with the scalar tiers bit-exact."""
     d = fixtures.write_case(small_case, tmp_path / "fx", steps=2)
     rc = driver.main([str(d), "--tier", "all", "--mesh", "2x2"])
     out = capsys.readouterr().out
     assert rc == 0
-    assert out.count("PASS") == 16 and "FAIL" not in out and "ERROR" not in out
+    assert out.count("PASS") == 18 and "FAIL" not in out and "ERROR" not in out
     for tier in ("numpy", "native"):
         line = next(l for l in out.splitlines() if l.strip().startswith(tier))
         assert "max_abs=0.000e+00" in line

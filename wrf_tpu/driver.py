@@ -55,7 +55,8 @@ BF16_ATOL_SCALE = 2e-2
 
 def run_tier(case, steps: int, tier: str, mesh_shape=None,
              capture: bool = False, with_w: bool = False,
-             const_dtype=None, inner_steps: int = 1):
+             const_dtype=None, inner_steps: int = 1,
+             fast: bool = False):
     """Run `steps` small steps on the chosen tier; returns
     ``(outputs, seconds, golden_override)`` — ``golden_override`` is None
     for tiers verified against the fixture goldens, or the in-process
@@ -118,7 +119,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              kernel=kernel, with_w=with_w,
                              const_dtype=const_dtype,
-                             inner_steps=inner_steps)
+                             inner_steps=inner_steps, fast=fast)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
         warm = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         np.asarray(warm["t"])  # sync: the warmup run must finish before t0
@@ -199,7 +200,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         step = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                  n_steps=steps, kernel=kernel,
                                  const_dtype=const_dtype,
-                                 inner_steps=inner_steps)
+                                 inner_steps=inner_steps, fast=fast)
         from .parallel.sharded import embed_outputs
         arrays = step.prepare(case_to_domain(case))
         warm = step(arrays, case.rdx, case.rdy, case.dts, case.epssm)  # compile
@@ -233,6 +234,9 @@ def main(argv=None) -> int:
     p.add_argument("--inner-steps", type=int, default=1,
                    help="temporal blocking: substeps fused per Pallas "
                         "pass (sharded-pallas: any S; coupled: 2)")
+    p.add_argument("--fast", action="store_true",
+                   help="blocked tiers: re-associated f32 fast mode "
+                        "(XLA-tier tolerance class)")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16-const"],
                    help="bf16-const (sharded-pallas / coupled tiers): "
@@ -267,11 +271,14 @@ def main(argv=None) -> int:
                  "coupled", "coupled-xla", "coupled-native",
                  "coupled+w", "coupled-xla+w", "coupled-native+w",
                  "sharded-pallas~bf16", "coupled~bf16",
-                 "sharded-pallas~blk", "coupled~blk")
+                 "sharded-pallas~blk", "coupled~blk",
+                 "sharded-pallas~blkfast", "coupled~blkfast")
         failures = 0
         for tier in tiers:
-            tier_blk = tier.endswith("~blk")
-            tname = tier[:-4] if tier_blk else tier
+            tier_fast = tier.endswith("~blkfast")
+            tname = tier[:-8] if tier_fast else tier
+            tier_blk = tier_fast or tname.endswith("~blk")
+            tname = tname[:-4] if tname.endswith("~blk") else tname
             tier_bf = tname.endswith("~bf16")
             tname = tname[:-5] if tier_bf else tname
             tier_w = tname.endswith("+w")
@@ -286,7 +293,8 @@ def main(argv=None) -> int:
             try:
                 out, dt, gold_ov = run_tier(case, steps, tname, mesh_shape,
                                             with_w=tier_w, const_dtype=cd,
-                                            inner_steps=inner)
+                                            inner_steps=inner,
+                                            fast=tier_fast)
             except Exception as e:  # report, keep the matrix going
                 failures += 1
                 print(f"{tier:>20}: ERROR {type(e).__name__}: {e}")
@@ -316,7 +324,8 @@ def main(argv=None) -> int:
     out, dt, gold_override = run_tier(
         case, steps, args.tier, mesh_shape,
         capture=bool(args.dump_intermediates), with_w=args.with_w,
-        const_dtype=const_dtype, inner_steps=args.inner_steps)
+        const_dtype=const_dtype, inner_steps=args.inner_steps,
+        fast=args.fast)
 
     if args.dump_intermediates:
         from pathlib import Path
