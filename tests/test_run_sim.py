@@ -137,3 +137,14 @@ def test_resume_nudge_reference_continuity(tmp_path, small_case, capsys):
     for name in ("t", "mu", "u", "v", "ww"):
         np.testing.assert_array_equal(resumed[name], straight[name],
                                       err_msg=name)
+
+
+def test_run_sim_blocked_fast(tmp_path, small_case, capsys):
+    """--inner-steps 2 --fast: the blocked coupled loop's re-associated
+    fast scan runs through the production driver and stays finite."""
+    d = _fixture(tmp_path, small_case)
+    rc = run_sim.main([d, "--steps", "2", "--inner-steps", "2", "--fast",
+                       "--diagnostics"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("grid-points/s") == 2

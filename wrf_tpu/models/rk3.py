@@ -67,7 +67,7 @@ class RK3Integrator:
                  cs2: float = DEFAULT_CS2, with_w: bool = False,
                  smdiv: float = 0.0, snapshot: str = "stage",
                  interpret: bool | None = None, const_dtype=None,
-                 inner_steps: int = 1):
+                 inner_steps: int = 1, fast: bool = False):
         if snapshot not in ("stage", "base"):
             raise ValueError(f"bad snapshot mode {snapshot!r}")
         self.snapshot = snapshot
@@ -77,7 +77,7 @@ class RK3Integrator:
                           kernel=kernel, cs2=cs2, with_w=with_w,
                           smdiv=smdiv, interpret=interpret,
                           const_dtype=const_dtype,
-                          inner_steps=inner_steps)
+                          inner_steps=inner_steps, fast=fast)
             for (_, n_sub) in self.stages
         ]
         self.prepare = self.loops[0].prepare

@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     p.add_argument("--inner-steps", type=int, default=1,
                    help="temporal blocking: coupled substeps fused per "
                         "Pallas pass (2; single-shard pallas, no w/smdiv)")
+    p.add_argument("--fast", action="store_true",
+                   help="with --inner-steps: re-associated f32 fast mode "
+                        "(log-depth ww cumsum; XLA-tier tolerance class)")
     p.add_argument("--closure", default="none", choices=["none", "nudge"],
                    help="slow-forcing closure: 'nudge' holds the *_1 "
                         "advecting fields at the base state and recomputes "
@@ -126,7 +129,8 @@ def main(argv=None) -> int:
                         const_dtype=(_jnp.bfloat16
                                      if args.precision == "bf16-const"
                                      else None),
-                        inner_steps=args.inner_steps)
+                        inner_steps=args.inner_steps,
+                        fast=args.fast)
 
     dom = case_to_domain(case, with_w=args.with_w)
     start_step = 0
