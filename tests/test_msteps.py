@@ -228,8 +228,9 @@ def test_coupled_blocked_with_w():
 
 
 def test_blocked_fast_mode():
-    """fast mode (log-depth ww cumsum + linear wind folding) is
-    tolerance-equal to the exact blocked scan and to the golden loop —
+    """fast mode (affine-hoisted: per-pass ww cumsums of the constant and
+    wind-proportional parts, per-substep theta increment G0+s*G1+ws*G2)
+    is tolerance-equal to the exact blocked scan and to the golden loop —
     the same re-association class the XLA tier documents."""
     nx, ny, nz = 40, 30, 12
     case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
@@ -239,6 +240,20 @@ def test_blocked_fast_mode():
     for k in sorted(exact):
         a, b = np.asarray(exact[k]), np.asarray(fast[k])
         assert not np.array_equal(a, b) or np.all(a == b)  # sanity
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_blocked_fast_mode_on_mesh():
+    """fast mode composes with the 2-D mesh decomposition: same
+    tolerance against the exact blocked scan on the same mesh."""
+    nx, ny, nz = 40, 36, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=11)
+    exact = _run(case, nx, ny, nz, (2, 2), 9, 4)
+    fast = _run(case, nx, ny, nz, (2, 2), 9, 4, fast=True)
+    for k in sorted(exact):
+        a, b = np.asarray(exact[k]), np.asarray(fast[k])
         scale = max(float(np.max(np.abs(a))), 1.0)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=k)
