@@ -28,7 +28,7 @@ from wrf_tpu.io import fixtures
 from wrf_tpu.models.small_step import SmallStepLoop
 from wrf_tpu.parallel.halo import remote_refresh_axis
 from wrf_tpu.parallel.mesh import make_mesh
-from wrf_tpu.parallel.sharded import case_to_domain
+from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
 FAILURES = 0
 
@@ -70,6 +70,26 @@ def loop_backend_equal(nx, ny, nz, steps=4, with_w=False, smdiv=0.0):
                                       err_msg=k)
 
 
+def fast_blocked_tolerance(nx, ny, nz, steps=9, inner=4):
+    """COMPILED fast blocked kernel (affine-hoisted) vs the exact blocked
+    scan on the chip — XLA-tier tolerance class."""
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+    outs = {}
+    for fast in (False, True):
+        loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, inner_steps=inner,
+                                 fast=fast, vary_winds=True)
+        out = loop(loop.prepare(case_to_domain(case)),
+                   case.rdx, case.rdy, case.dts, case.epssm)
+        outs[fast] = {k: np.asarray(v) for k, v in out.items()}
+    for k in outs[False]:
+        a, b = outs[False][k], outs[True][k]
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
 def main():
     mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1), ("j",))
     mesh2 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("j", "i"))
@@ -88,6 +108,8 @@ def main():
           lambda: loop_backend_equal(126, 48, 16))
     check("coupled loop rdma==ppermute, +w +smdiv (64x48x16)",
           lambda: loop_backend_equal(64, 48, 16, with_w=True, smdiv=0.1))
+    check("fast blocked mu_t vs exact, compiled (96x80x20, S=4)",
+          lambda: fast_blocked_tolerance(96, 80, 20))
     print("FAILURES:", FAILURES)
     return 1 if FAILURES else 0
 
