@@ -45,16 +45,22 @@ def main():
     case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
     pts = nx * ny * nz
 
+    # affine-hoisted fast mode (2026-08-17): per-substep work collapsed
+    # to ~3 FMA passes, so the S ladder is re-swept.  Earlier probes
+    # (OLD per-substep-scan fast): coupled f32 S=2 fast 0.8362 (no gain
+    # over non-fast 0.84), coupled bf16 S=2 fast 0.7054 (ditto), mu_t
+    # bf16 S=16 fast 0.4121 (bf16 tile params hurt the compute-bound
+    # kernel), mu_t f32 S=24 0.4772 / S=32 0.5046 (deep-unroll
+    # regression of the old body).
     exps = [
         # (label, inner, bf16, tj, coupled, ablate, with_w, fast)
-        ("coupled f32 S=2 fast", 2, False, None, True, "", False, True),
-        ("coupled bf16 S=2 fast", 2, True, None, True, "", False, True),
-        ("mu_t bf16 S=16 fast (re-probe)", 16, True, None, False, "",
-         False, True),
+        ("mu_t f32 S=8 fast", 8, False, None, False, "", False, True),
+        ("mu_t f32 S=16 fast", 16, False, None, False, "", False, True),
         ("mu_t f32 S=24 fast", 24, False, None, False, "", False, True),
         ("mu_t f32 S=32 fast", 32, False, None, False, "", False, True),
         ("mu_t f32 S=48 fast", 48, False, None, False, "", False, True),
-        ("coupled+w f32 S=2 fast", 2, False, None, True, "", True, True),
+        ("mu_t f32 S=8 exact (control)", 8, False, None, False, "",
+         False, False),
     ]
     for label, inner, bf16, tj, coupled, ablate, with_w, fast in exps:
         os.environ["WRF_TPU_ABLATE"] = ablate
