@@ -48,6 +48,35 @@ import numpy as np
 
 REFERENCE_GPS = 144448 / 51e-6  # 74*61*32 points / 0.051 ms
 
+# (name, nx, ny, nz, coupled, with_w, bf16, inner_steps, (n1, n2))
+# Temporal blocking (inner_steps=S, ops/advance_mu_t_msteps.py) is ON
+# for the headline and coupled configs — it computes the identical
+# substep sequence (bit-equal for mu_t exact mode; <=2 ulp/substep for
+# coupled), S substeps per HBM pass.  The headline additionally uses
+# fast mode ("<S>f": re-associated f32 — affine-hoisted ww cumsum +
+# wind-linear folding, the same tolerance class as the XLA tier;
+# "fast": true in the record).  Module-level so tests can exercise
+# every row's code path at small sizes (tests/test_bench.py).
+SPECS = [
+    ("mu_t 512x512x50", 512, 512, 50,
+     False, False, False, "16f", (50, 250)),
+    ("mu_t 512x512x50 exact S=8", 512, 512, 50,
+     False, False, False, 8, (50, 250)),
+    ("mu_t 512x512x50 S=1", 512, 512, 50,
+     False, False, False, 1, (50, 250)),
+    ("coupled 512x512x50", 512, 512, 50,
+     True, False, False, 2, (50, 250)),
+    ("coupled+w 512x512x50", 512, 512, 50,
+     True, True, False, 2, (50, 250)),
+    ("coupled CONUS 1500x1500x50",
+     1500, 1500, 50, True, False, False, 1, (20, 80)),
+    # opt-in reduced-precision constant streams (state/outputs f32)
+    ("mu_t 512x512x50 bf16-const",
+     512, 512, 50, False, False, True, 8, (50, 250)),
+    ("coupled 512x512x50 bf16-const",
+     512, 512, 50, True, False, True, 2, (50, 250)),
+]
+
 
 def _make_run(loop, arrays, scalars):
     def run():
@@ -162,34 +191,7 @@ def main():
     _wait_healthy()
     mesh = make_mesh([jax.devices()[0]], (1, 1))
 
-    specs = [
-        # (name, nx, ny, nz, coupled, with_w, bf16, inner_steps, (n1, n2))
-        # temporal blocking (inner_steps=S, ops/advance_mu_t_msteps.py)
-        # is ON for the headline and coupled configs — it computes the
-        # identical substep sequence (bit-equal for mu_t exact mode;
-        # <=2 ulp/substep for coupled), S substeps per HBM pass.  The
-        # headline additionally uses fast mode (re-associated f32:
-        # log-depth ww cumsum + wind-linear folding — the same
-        # tolerance class as the XLA tier; "fast": true in the record)
-        ("mu_t 512x512x50", 512, 512, 50,
-         False, False, False, "16f", (50, 250)),
-        ("mu_t 512x512x50 exact S=8", 512, 512, 50,
-         False, False, False, 8, (50, 250)),
-        ("mu_t 512x512x50 S=1", 512, 512, 50,
-         False, False, False, 1, (50, 250)),
-        ("coupled 512x512x50", 512, 512, 50,
-         True, False, False, 2, (50, 250)),
-        ("coupled+w 512x512x50", 512, 512, 50,
-         True, True, False, 2, (50, 250)),
-        ("coupled CONUS 1500x1500x50",
-         1500, 1500, 50, True, False, False, 1, (20, 80)),
-        # opt-in reduced-precision constant streams (state/outputs f32)
-        ("mu_t 512x512x50 bf16-const",
-         512, 512, 50, False, False, True, 8, (50, 250)),
-        ("coupled 512x512x50 bf16-const",
-         512, 512, 50, True, False, True, 2, (50, 250)),
-    ]
-    for name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2) in specs:
+    for name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2) in SPECS:
         if time.perf_counter() - t_start > budget_s:
             records.append({"config": name, "skipped": "time budget"})
             continue

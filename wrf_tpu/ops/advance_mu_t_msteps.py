@@ -207,15 +207,24 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
             G1 = -(dm * dvert(wB))
             G2 = -(dm * (horiz0 + dvert(wC)))
 
-        for s in range(n_inner):
-            ws = (scal_ref[0, 4] + F(s) * scal_ref[0, 5]
-                  if has_wscale else F(1.0))
-            t_st = jnp.where(
-                p3, t_st + (G0 + F(s) * G1 + ws * G2), t_st)
-            mu_st = jnp.where(
-                mask, mu_st + dts * (dmdt_c + ws * dmdt_d + mutend),
-                mu_st)
-            seed = jnp.where(mask, seed - ww1k0, seed)
+        # closed-form sum over the S substeps: every increment above is
+        # affine in (1, s, ws) and independent of the carried state, so
+        # sum_{s=0}^{S-1} (G0 + s*G1 + ws*G2) collapses to one FMA with
+        # the scalar sums S, S(S-1)/2 and sum(ws) — the logical endpoint
+        # of the loop-invariant motion (one re-associated add instead of
+        # S sequential adds; same fast-mode tolerance class, and the
+        # single summed add typically rounds LESS).  Per-pass cost is
+        # now streams + precompute only; per-substep cost divides by S.
+        sn = F(n_inner)
+        ss = F(n_inner * (n_inner - 1) // 2)
+        sws = (sn * scal_ref[0, 4] + ss * scal_ref[0, 5]
+               if has_wscale else sn)
+        t_st = jnp.where(p3, t_st + (sn * G0 + ss * G1 + sws * G2), t_st)
+        mu_st = jnp.where(
+            mask,
+            mu_st + dts * (sn * (dmdt_c + mutend) + sws * dmdt_d),
+            mu_st)
+        seed = jnp.where(mask, seed - sn * ww1k0, seed)
 
         t_out[:] = t_st
         mu_out[:] = mu_st
@@ -327,9 +336,12 @@ def advance_mu_t_multistep_pallas(
     the prescribed-wind substep is affine in ``(1, s, ws)``, fast mode
     hoists the masked ww cumsum out of the substep loop (one log-depth
     cumsum each for the constant and wind-proportional parts, once per
-    pass) and collapses every substep's theta increment to
-    ``G0 + s*G1 + ws*G2`` with the ``G*`` precomputed — per-substep
-    work is ~3 elementwise passes plus thin 2-D mu/seed updates.
+    pass), collapses every substep's theta increment to
+    ``G0 + s*G1 + ws*G2`` with the ``G*`` precomputed, and then sums
+    the S affine increments in closed form (``S*G0 + S(S-1)/2*G1 +
+    sum(ws)*G2`` — increments never depend on the carried state, so the
+    substep loop disappears entirely).  Per-pass cost is the operand
+    streams plus the hoisted precompute; per-substep cost divides by S.
     """
     del epssm, kde  # unused by the scan substep; kept for API parity
     J, K, I = jnp.shape(t)
