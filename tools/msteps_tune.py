@@ -54,13 +54,24 @@ def main():
     # regression of the old body).
     exps = [
         # (label, inner, bf16, tj, coupled, ablate, with_w, fast)
+        # closed-form fast body (no per-substep work at all): the S
+        # ladder extends until the per-pass streams+precompute stop
+        # amortizing; bf16 re-probed because the closed form removed the
+        # compute that made bf16 tile params a loss under the old body
         ("mu_t f32 S=8 fast", 8, False, None, False, "", False, True),
         ("mu_t f32 S=16 fast", 16, False, None, False, "", False, True),
         ("mu_t f32 S=24 fast", 24, False, None, False, "", False, True),
         ("mu_t f32 S=32 fast", 32, False, None, False, "", False, True),
         ("mu_t f32 S=48 fast", 48, False, None, False, "", False, True),
+        ("mu_t f32 S=64 fast", 64, False, None, False, "", False, True),
+        ("mu_t f32 S=96 fast", 96, False, None, False, "", False, True),
+        ("mu_t bf16 S=16 fast", 16, True, None, False, "", False, True),
+        ("mu_t bf16 S=32 fast", 32, True, None, False, "", False, True),
         ("mu_t f32 S=8 exact (control)", 8, False, None, False, "",
          False, False),
+        ("coupled f32 S=2 fast", 2, False, None, True, "", False, True),
+        ("coupled bf16 S=2 fast", 2, True, None, True, "", False, True),
+        ("coupled+w f32 S=2 fast", 2, False, None, True, "", True, True),
     ]
     for label, inner, bf16, tj, coupled, ablate, with_w, fast in exps:
         os.environ["WRF_TPU_ABLATE"] = ablate
