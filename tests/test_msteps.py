@@ -6,6 +6,8 @@ docstring), so the loop-level checks here demand exact equality in
 interpret mode and the usual fp32 tolerances against the golden path.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -193,13 +195,96 @@ def test_coupled_inner_steps_validation():
     case = fixtures.make_case(16, 12, 8, halo=3, seed=1)
     mesh1 = make_mesh(jax.devices()[:1], (1, 1))
     with pytest.raises(ValueError):
-        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=3)
+        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=0)
     with pytest.raises(ValueError):
         SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
                       smdiv=0.1)
     with pytest.raises(ValueError):
         SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
                       halo_backend="rdma", force_exchange=True)
+
+
+# ------------------------------------------------------------------ #
+# Depth-S coupled trapezoid (coupled_multistep_pallas, S > 2)
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("inner,n_steps", [(3, 7), (4, 9), (4, 13)])
+def test_coupled_deep_blocked_vs_single(inner, n_steps):
+    """The generalized depth-S trapezoid vs the single-step fused scan
+    (same tolerance class as the S=2 pair kernel: <=2 ulp/substep
+    re-association from moved fusion boundaries)."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run_coupled(case, nx, ny, nz, n_steps, 1)
+    blk = _run_coupled(case, nx, ny, nz, n_steps, inner)
+    assert set(ref) == set(blk)
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_coupled_general_s2_matches_pair_kernel():
+    """At S=2 the generalized kernel (forced via env) agrees with the
+    hand-unrolled pair kernel within the sequential-path tolerance."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    pair = _run_coupled(case, nx, ny, nz, 9, 2)
+    os.environ["WRF_TPU_COUPLED_GENERAL"] = "1"
+    try:
+        gen = _run_coupled(case, nx, ny, nz, 9, 2)
+    finally:
+        del os.environ["WRF_TPU_COUPLED_GENERAL"]
+    for k in sorted(pair):
+        a, b = np.asarray(pair[k]), np.asarray(gen[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_coupled_deep_blocked_vs_golden():
+    """12 depth-4-blocked coupled substeps against the FP-order-exact
+    numpy golden loop, at the standard tier tolerances."""
+    from wrf_tpu.models.small_step import small_step_golden
+    from wrf_tpu.parallel.sharded import embed_outputs
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    gold = small_step_golden(case, steps=12)
+    got = _run_coupled(case, nx, ny, nz, 12, 4)
+    emb = embed_outputs(case, got)
+    for name in ("ww", "mu", "t", "t_ave", "u", "v", "muave", "muts",
+                 "mudf"):
+        scale = max(np.max(np.abs(gold[name])), 1.0)
+        np.testing.assert_allclose(
+            emb[name], gold[name], rtol=2e-5, atol=2e-6 * scale,
+            err_msg=name)
+
+
+def test_coupled_deep_blocked_with_w_and_modes():
+    """Depth-4 blocking composes with fuse_w, fast scan and bf16
+    constant streams."""
+    import jax.numpy as jnp
+
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    ref = _run_coupled(case, nx, ny, nz, 9, 1, with_w=True)
+    blk = _run_coupled(case, nx, ny, nz, 9, 4, with_w=True)
+    assert "w" in blk and "pp" in blk
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+    reff = _run_coupled(case, nx, ny, nz, 9, 1,
+                        const_dtype=jnp.bfloat16)
+    blkf = _run_coupled(case, nx, ny, nz, 9, 4, fast=True,
+                        const_dtype=jnp.bfloat16)
+    for k in sorted(reff):
+        a, b = np.asarray(reff[k]), np.asarray(blkf[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5 * scale,
+                                   err_msg=k)
 
 
 def test_coupled_blocked_with_w():
@@ -281,6 +366,33 @@ def test_coupled_blocked_on_mesh(mesh_shape):
                            case.epssm)
     for k in sorted(outs[1]):
         a, b = np.asarray(outs[1][k]), np.asarray(outs[2][k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4)])
+def test_coupled_deep_blocked_on_mesh(mesh_shape):
+    """Multi-chip depth-4 trapezoid: ring-4 halos (halo.widen_ring_to)
+    with ONE width-4 exchange per block — same bytes as the per-substep
+    width-1 exchange, a quarter of the collective launches.  Must match
+    the single-step scan on the same mesh at the tier tolerances."""
+    from wrf_tpu.models.small_step import SmallStepLoop
+
+    nx, ny, nz = 48, 40, 10
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=11)
+    dom = case_to_domain(case)
+    outs = {}
+    for inner in (1, 4):
+        mesh = make_mesh(
+            jax.devices()[: mesh_shape[0] * mesh_shape[1]], mesh_shape)
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=9,
+                             inner_steps=inner)
+        arrays = loop.prepare(dom)
+        outs[inner] = loop(arrays, case.rdx, case.rdy, case.dts,
+                           case.epssm)
+    for k in sorted(outs[1]):
+        a, b = np.asarray(outs[1][k]), np.asarray(outs[4][k])
         scale = max(float(np.max(np.abs(a))), 1.0)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=k)

@@ -28,6 +28,8 @@ single tile; the mesh-decomposed loop must reassemble to it.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..grid import ConfigFlags
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
 from ..ops.advance_mu_t_msteps import (
-    coupled_lean_kwargs, coupled_two_step_pallas,
+    coupled_lean_kwargs, coupled_multistep_pallas, coupled_two_step_pallas,
 )
 from ..ops.advance_mu_t_pallas import (
     advance_mu_t_pallas, lean_kwargs, sharded_tile_params,
@@ -136,22 +138,21 @@ class SmallStepLoop:
             raise ValueError(f"bad halo_backend {halo_backend!r}")
         if const_dtype is not None and kernel != "pallas":
             raise ValueError("const_dtype requires the pallas kernel")
-        if inner_steps not in (1, 2):
-            raise ValueError("inner_steps must be 1 or 2 for the coupled "
-                             "loop (the trapezoid kernel blocks pairs)")
+        if not isinstance(inner_steps, int) or inner_steps < 1:
+            raise ValueError("inner_steps must be a positive integer")
         if inner_steps > 1:
-            # the blocked kernel needs +-2 j rows of mu per pair; with a
-            # 1-cell exchanged ring that is only available single-shard
-            # (ring-2 exchange is the multi-chip extension point)
+            # the depth-S trapezoid needs +-S j rows of mu per block,
+            # exchanged as a width-S ring (S=2 keeps the hand-unrolled
+            # pair kernel; S>2 runs coupled_multistep_pallas)
             if kernel != "pallas":
                 raise ValueError("inner_steps requires the pallas kernel")
             if smdiv:
-                raise ValueError("inner_steps=2 does not support smdiv "
+                raise ValueError("inner_steps>1 does not support smdiv "
                                  "yet (mudf would need its own extended "
                                  "rows)")
             if halo_backend == "rdma" and (
                     mesh.shape["j"] > 1 or force_exchange):
-                raise ValueError("inner_steps=2 uses the width-2 "
+                raise ValueError("inner_steps>1 uses the width-S "
                                  "ppermute exchange; the RDMA backend "
                                  "covers the single-step loop")
         self._force_exchange = force_exchange
@@ -214,7 +215,8 @@ class SmallStepLoop:
                 if with_w:
                     blk_streams += 28   # w/pp streams + Thomas scratches
                 tj_loc, vmem_limit = sharded_tile_params(
-                    K, ni_loc, tj, streams=blk_streams)
+                    K, ni_loc, tj, streams=blk_streams,
+                    fixed_rows=6 * max(0, inner_steps - 2))
             else:
                 tj_loc, vmem_limit = sharded_tile_params(
                     K, ni_loc, tj, streams=68 if with_w else 44)
@@ -416,28 +418,29 @@ class SmallStepLoop:
 
             state = state0
             rem = n_steps - 1
-            if inner_steps > 1 and rem >= 2:
-                # ---- temporally-blocked pairs (trapezoid kernel) ------
-                # ring-2 layout (halo.widen_ring: [lo2, lo1, int, hi1,
-                # hi2, alignment]) built ONCE outside the scan; on
+            if inner_steps > 1 and rem >= inner_steps:
+                # ---- temporally-blocked substeps (trapezoid kernel) ---
+                # ring-S layout (halo.widen_ring_to: [loS..lo1, int,
+                # hi1..hiS, alignment]) built ONCE outside the scan; on
                 # sharded axes the outer cells hold neighbor data and
-                # the pair-carried mu/u/v halos are refreshed per pair
-                # with a width-2 exchange — same bytes as the
-                # per-substep width-1 exchange, HALF the collective
+                # the block-carried mu/u/v halos are refreshed per block
+                # with a width-S exchange — same bytes as the
+                # per-substep width-1 exchange, 1/S the collective
                 # launches
-                n_blocks = rem // 2
+                S = inner_steps
+                n_blocks = rem // S
                 jn = "j" if j_sh else None
 
                 def w3(x):
-                    x = halo.widen_ring(x, 0, jn, nj_loc)
+                    x = halo.widen_ring_to(x, 0, jn, nj_loc, S)
                     if i_sh:   # unsharded i keeps the ring-1 lane layout
-                        x = halo.widen_ring(x, 2, "i", ni_loc)
+                        x = halo.widen_ring_to(x, 2, "i", ni_loc, S)
                     return x
 
                 def w2(x):
-                    x = halo.widen_ring(x, 0, jn, nj_loc)
+                    x = halo.widen_ring_to(x, 0, jn, nj_loc, S)
                     if i_sh:
-                        x = halo.widen_ring(x, 1, "i", ni_loc)
+                        x = halo.widen_ring_to(x, 1, "i", ni_loc, S)
                     return x
 
                 # constants are computed ON the ring-2 widened f32 inputs
@@ -474,31 +477,41 @@ class SmallStepLoop:
                         c2const[n] = c2const[n].astype(const_dtype)
                 state2 = {k: (w3(v) if v.ndim == 3 else w2(v))
                           for k, v in state.items()}
-                offs2 = (j_off, i_off - (1 if i_sh else 0))
+                offs2 = (j_off, i_off - (S - 1 if i_sh else 0))
 
                 w_kw = ({"fuse_w": True, "rdn": padded["rdn"],
                          "cw": cw, "gw": gw, "epssm": scalars["epssm"]}
                         if with_w else {})
 
-                def pair_refresh(st):
-                    """mu/u/v changed last pair: refresh their ring-2
-                    halos (mu is read two cells deep by the trapezoid;
-                    u/v one — the width-2 exchange covers both)."""
+                def block_refresh(st):
+                    """mu/u/v changed last block: refresh their ring-S
+                    halos (mu is read S cells deep by the trapezoid;
+                    u/v S-1 — the width-S exchange covers all)."""
                     st = dict(st)
                     for n2, ax_j, ax_i in (("mu", 0, 1), ("u", 0, 2),
                                            ("v", 0, 2)):
                         x = st[n2]
                         if j_sh:
-                            x = halo.refresh_axis2(x, ax_j, "j", nj_loc)
+                            x = halo.refresh_axis_w(x, ax_j, "j",
+                                                    nj_loc, S)
                         if i_sh:
-                            x = halo.refresh_axis2(x, ax_i, "i", ni_loc)
+                            x = halo.refresh_axis_w(x, ax_i, "i",
+                                                    ni_loc, S)
                         st[n2] = x
                     return st
 
+                # the hand-unrolled pair kernel serves S=2 (its chip
+                # calibration); the depth-S kernel everything deeper —
+                # WRF_TPU_COUPLED_GENERAL=1 forces it at S=2 for A/B
+                use_general = S > 2 or os.environ.get(
+                    "WRF_TPU_COUPLED_GENERAL") == "1"
+
                 def block_body(st, _):
                     if j_sh or i_sh:
-                        st = pair_refresh(st)
-                    out2 = coupled_two_step_pallas(
+                        st = block_refresh(st)
+                    kern = (coupled_multistep_pallas if use_general
+                            else coupled_two_step_pallas)
+                    out2 = kern(
                         u=st["u"], v=st["v"], t=st["t"], mu=st["mu"],
                         ww_row=st["ww_row"], **c2const,
                         rdx=scalars["rdx"], rdy=scalars["rdy"],
@@ -509,6 +522,7 @@ class SmallStepLoop:
                         k0=k0, k1=k1, kde=nz - 1, fast=fast, **w_kw,
                         **({"w": st["w"], "pp": st["pp"]} if with_w
                            else {}),
+                        **({"n_inner": S} if use_general else {}),
                         tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
@@ -518,22 +532,22 @@ class SmallStepLoop:
                                          length=n_blocks)
 
                 def strip3(v):
-                    v = jnp.concatenate([v[1 : nj_loc + 3],
-                                         v[nj_loc + 4 :]], axis=0)
+                    v = jnp.concatenate([v[S - 1 : nj_loc + S + 1],
+                                         v[nj_loc + 2 * S :]], axis=0)
                     if i_sh:
-                        v = v[:, :, 1 : ni_loc + 3]
+                        v = v[:, :, S - 1 : ni_loc + S + 1]
                     return v
 
                 def strip2(v):
-                    v = jnp.concatenate([v[1 : nj_loc + 3],
-                                         v[nj_loc + 4 :]], axis=0)
+                    v = jnp.concatenate([v[S - 1 : nj_loc + S + 1],
+                                         v[nj_loc + 2 * S :]], axis=0)
                     if i_sh:
-                        v = v[:, 1 : ni_loc + 3]
+                        v = v[:, S - 1 : ni_loc + S + 1]
                     return v
 
                 state = {k: (strip3(v) if v.ndim == 3 else strip2(v))
                          for k, v in state2.items()}
-                rem -= n_blocks * 2
+                rem -= n_blocks * S
             if rem > 0:
                 def body(state, _):
                     new_state, _out = substep(state, with_tave=False)

@@ -920,3 +920,436 @@ def coupled_two_step_pallas(
     if fuse_w:
         res["w"], res["pp"] = outs[5], outs[6]
     return res
+
+
+# ------------------------------------------------------------------ #
+# Depth-S coupled trapezoid: S substeps per pass over ring-S arrays.
+#
+# Generalizes the two-step kernel above.  The dependency analysis
+# (module comment there) extends: each substep consumes one ring cell
+# per side — at substep s (0-based) the wind/mass updates run on rows
+# extended by S-1-s per side, the theta/ww/w updates on center rows
+# only (their stencils read the CONSTANT t_1 neighbors).  Required
+# input extents, in interior-row units relative to the tile:
+#
+#   mu: +-S,  u: +-(S-1),  v: [-(S-1), +S] (j-staggered),  cu/dvdxi_
+#   const/msft2/mu_tend: +-(S-1),  cv: like v,  t_1: +-1 (theta),
+#   t/tconst/ww seed/w/pp: center.
+#
+# Unlike the hand-unrolled S=2 kernel's per-row boundary refs, each
+# extended field is ONE pl.Element-window operand (rows tj+2(S-1) etc.)
+# — the overlap re-streams 2(S-1) rows of u/v/mu/dvdxi_const per tile,
+# the trapezoid's bandwidth cost, which the S in the denominator
+# amortizes: per-substep traffic ~ (6 + 6(S-1)/tj)/S + 3/S big fields.
+# Recompute on the extended rows is free (the loop is HBM-bound).
+#
+# Numerics: same class as the S=2 trapezoid — each substep's terms in
+# the single-step kernel's association, <=2 ulp/substep drift from XLA
+# fusion-boundary moves, NOT bit-equal to sequential substeps.
+# Reference parity: module_small_step_em.f90:140-248 (advance_mu_t) +
+# the advance_uv wind update it couples to (SURVEY.md §3.4).
+# ------------------------------------------------------------------ #
+def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
+                       fuse_w: bool, fast_scan: bool = False):
+    S = n_inner
+    it = iter(refs)
+    scal_ref = next(it)   # (1, 7) f32: rdx, rdy, dts, cs2, epssm, c_w, g_t
+    win_ref = next(it)    # (1, 6) i32: i0, i1, j0, j1, j_off, i_off
+    u_ref, v_ref, t_ref, t1_ref = next(it), next(it), next(it), next(it)
+    tconst_ref, dvdxic_ref = next(it), next(it)
+    if fuse_w:
+        w_ref, pp_ref = next(it), next(it)
+    (wwrow_ref, ww1k0_ref, mu_ref, mutend_ref, msftx_ref, msfty_ref,
+     cu_ref, cv_ref, msft2_ref) = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it), next(it))
+    dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
+    if fuse_w:
+        aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
+        crdn_ref, erdn_ref = next(it), next(it)
+    t_out, u_out, v_out, mu_out, wwrow_out = (
+        next(it), next(it), next(it), next(it), next(it))
+    if fuse_w:
+        w_out, pp_out = next(it), next(it)
+    scan_ref = next(it)
+    if fuse_w:
+        cpw_ref, dpw_ref = next(it), next(it)
+
+    rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
+    dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
+    K = t1_ref.shape[1]
+    I = t1_ref.shape[2]
+    g = pl.program_id(0)
+
+    def roll_i(x, shift):
+        return pltpu.roll(x, shift % I, 2)
+
+    def roll_k(x, shift):
+        return pltpu.roll(x, shift % K, 1)
+
+    def _ld(ref):
+        return ref[:].astype(F)
+
+    # extent-tracked slicing: ``a`` covers rows e in [-a_lo, tj + a_hi);
+    # slice it down to [-lo, tj + hi)
+    def sl(a, a_lo, lo, hi):
+        return a[a_lo - lo : a_lo + tj + hi]
+
+    # ---- masks on the full +-S row range ------------------------------
+    rows = tj + 2 * S
+    i_glob = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 2) \
+        + win_ref[0, 5]
+    j_glob = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 0)
+              + win_ref[0, 4] + 1 - S + g * tj)        # row m -> e = m-S
+    i0w, i1w = win_ref[0, 0], win_ref[0, 1]
+    j0w, j1w = win_ref[0, 2], win_ref[0, 3]
+    i_in = (i_glob >= i0w) & (i_glob <= i1w)
+    j_in = (j_glob >= j0w) & (j_glob <= j1w)
+    mask_f = i_in & j_in
+    u_mask_f = (i_glob >= i0w + 1) & (i_glob <= i1w) & j_in
+    v_mask_f = i_in & (j_glob >= j0w + 1) & (j_glob <= j1w)
+    mask_c = sl(mask_f, S, 0, 0)
+
+    # ---- once-per-pass center constants (theta/ww) --------------------
+    t1e = _ld(t1_ref)                      # +-1
+    t1c = t1e[1 : tj + 1]
+    t1_jp = t1e[2 : tj + 2]
+    t1_jm = t1e[0:tj]
+    t1_ip = roll_i(t1c, -1)
+    t1_im = roll_i(t1c, 1)
+    tcon = _ld(tconst_ref)
+    fnm = fnm_ref[:].reshape(1, K, 1)
+    fnp = fnp_ref[:].reshape(1, K, 1)
+    interp = fnm * t1c + fnp * roll_k(t1c, 1)
+    dnw = dnw_ref[:].reshape(1, K, 1)
+    rdnw3 = rdnw_ref[:].reshape(1, K, 1)
+    kmask_upd = _k_range_mask(K, k0, k1 + 1)
+    kmask_w = _k_range_mask(K, k0 + 1, k1 + 1)
+    msftx = msftx_ref[:]
+    msfty = msfty_ref[:]
+    inv_msfty = F(1.0) / msfty
+    ww1k0 = ww1k0_ref[:]
+    mutend_c = sl(mutend_ref[:], S - 1, 0, 0)
+
+    # ---- extended streams ---------------------------------------------
+    mu_c, mu_lo = mu_ref[:], S
+    u_c, u_lo = u_ref[:], S - 1
+    v_c, v_lo = v_ref[:], S - 1           # hi extent S (j-staggered)
+    mute_e = mutend_ref[:]
+    cu_e = cu_ref[:]
+    cv_e = cv_ref[:]
+    msft2_e = msft2_ref[:]
+    dvc_e = _ld(dvdxic_ref)
+    t_c = t_ref[:]
+    seed = wwrow_ref[:]
+
+    def scan_body(k, _):
+        scan_ref[:, pl.ds(k, 1), :] = (
+            scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
+        )
+        return 0
+
+    if fast_scan:
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+
+    def ww_scan(steps, seed):
+        if fast_scan:
+            y = jnp.where(kmask_w, roll_k(steps, 1), F(0.0))
+            d = 1
+            while d < K:
+                y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
+                d *= 2
+            return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
+        scan_ref[:] = roll_k(steps, 1)
+        scan_ref[:, k0 : k0 + 1, :] = seed
+        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
+
+    def theta(t_in, u, v_c_, v_p, ww_new):
+        t_half = t_in + tcon
+        wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
+        vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
+        fy = v_p * (t1_jp + t1c) - v_c_ * (t1c + t1_jm)
+        fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
+        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
+        return jnp.where(kmask_upd & mask_c,
+                         t_half - (dts * msfty) * (horiz + vert), t_in)
+
+    if fuse_w:
+        epssm = scal_ref[0, 4]
+        c_w = scal_ref[0, 5]
+        g_t = scal_ref[0, 6]
+        beta = F(0.5) * (F(1.0) + epssm)
+        alfa = F(1.0) - beta
+        crdn = crdn_ref[:].reshape(1, K, 1)
+        erdn = erdn_ref[:].reshape(1, K, 1)
+
+        def w_fwd(k, _):
+            ak = aw_ref[0, k]
+            denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
+            cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
+            dpw_ref[:, pl.ds(k, 1), :] = (
+                scan_ref[:, pl.ds(k, 1), :]
+                + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
+            ) / denom
+            return 0
+
+        def w_bwd(m, _):
+            k = k1 - 1 - m
+            dpw_ref[:, pl.ds(k, 1), :] = (
+                dpw_ref[:, pl.ds(k, 1), :]
+                - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
+            )
+            return 0
+
+        def w_step(wf, ppf, t_full):
+            w_act = jnp.where(kmask_w, wf, F(0.0))
+            dvz = jnp.where(kmask_upd,
+                            rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
+            scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
+                           + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
+            zrow = jnp.zeros_like(wf[:, :1, :])
+            cpw_ref[:, k0 : k0 + 1, :] = zrow
+            dpw_ref[:, k0 : k0 + 1, :] = zrow
+            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+            w_sol = dpw_ref[:]
+            w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
+            wn_act = jnp.where(kmask_w, w_sol, F(0.0))
+            dvz_new = jnp.where(kmask_upd,
+                                rdnw3 * (roll_k(wn_act, -1) - wn_act),
+                                F(0.0))
+            pp_new = jnp.where(kmask_upd & mask_c,
+                               ppf - c_w * (beta * dvz_new + alfa * dvz),
+                               ppf)
+            return w_new, pp_new
+
+        w_st = w_ref[:]
+        pp_st = pp_ref[:]
+
+    # ================== S substeps, extents shrinking ==================
+    for s in range(S):
+        r = S - 1 - s
+        p = cs2 * mu_c                           # extent +-(r+1)
+        pm = sl(p, mu_lo, r, r)
+        u_n = sl(u_c, u_lo, r, r) + jnp.where(
+            sl(u_mask_f, S, r, r),
+            sl(cu_e, S - 1, r, r) * (pm - roll_i(pm, 1)), F(0.0))
+        v_n = sl(v_c, v_lo, r, r + 1) + jnp.where(
+            sl(v_mask_f, S, r, r + 1),
+            sl(cv_e, S - 1, r, r + 1)
+            * (sl(p, mu_lo, r, r + 1) - sl(p, mu_lo, r + 1, r)), F(0.0))
+        dvdxi = sl(dvc_e, S - 1, r, r) + sl(msft2_e, S - 1, r, r) * (
+            rdy * (v_n[1:] - v_n[:-1]) + rdx * (roll_i(u_n, -1) - u_n))
+        dmdt = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi, F(0.0)),
+                       axis=1, keepdims=True)
+        mu_n = jnp.where(
+            sl(mask_f, S, r, r),
+            sl(mu_c, mu_lo, r, r) + dts * (dmdt + sl(mute_e, S - 1, r, r)),
+            sl(mu_c, mu_lo, r, r))
+
+        steps_c = (-dnw * (sl(dmdt, r, 0, 0) + sl(dvdxi, r, 0, 0)
+                           + mutend_c)) * inv_msfty
+        wwv = ww_scan(steps_c, seed)
+        seed = jnp.where(mask_c, seed - ww1k0, seed)
+        t_c = theta(t_c, sl(u_n, r, 0, 0), sl(v_n, r, 0, 0),
+                    v_n[r + 1 : r + tj + 1], wwv)
+        if fuse_w:
+            w_st, pp_st = w_step(w_st, pp_st, t_c)
+
+        mu_c, mu_lo = mu_n, r
+        u_c, u_lo = u_n, r
+        v_c, v_lo = v_n, r
+
+    t_out[:] = t_c
+    u_out[:] = u_c
+    v_out[:] = v_c[0:tj]
+    mu_out[:] = mu_c
+    wwrow_out[:] = seed
+    if fuse_w:
+        w_out[:] = w_st
+        pp_out[:] = pp_st
+
+
+def coupled_multistep_pallas(
+    *,
+    u, v, t, t_1, tconst, dvdxi_const, ww1_k0, ww_row,
+    mu, mu_tend, msftx, msfty, cu, cv, msft2,
+    rdx, rdy, dts, cs2,
+    dnw, fnm, fnp, rdnw,
+    window, offsets=(0, 0),
+    k0: int, k1: int, kde: int,
+    n_inner: int = 2,
+    fuse_w: bool = False,
+    w=None, pp=None, rdn=None,
+    cw: float = 0.0, gw: float = 0.0, epssm=0.0,
+    fast: bool = False,
+    tj: int | None = None,
+    vmem_limit: int | None = None,
+    interpret: bool = False,
+):
+    """``n_inner`` coupled (advance_uv + advance_mu_t) substeps in one
+    Pallas pass over RING-``n_inner`` arrays.
+
+    Generalizes :func:`coupled_two_step_pallas` (same array contract at
+    depth S: the first/last S j rows are ring/pad rows; ``offsets`` maps
+    local row S to global ring row ``j_off + 1``).  ``(J2 - 2*S)`` must
+    be a multiple of ``tj``.  Returns ``{"t", "mu", "ww_row", "u", "v"}``
+    (+ ``w``/``pp`` under ``fuse_w``) with u/v/mu in FRESH buffers whose
+    ring rows are patched from the inputs."""
+    del kde
+    S = int(n_inner)
+    if S < 2:
+        raise ValueError("n_inner must be >= 2 (use the single-step "
+                         "kernel for S=1)")
+    J2, K, I = jnp.shape(t)
+    if tj is None:
+        tj = _pick_tj(K, I, streams=64, fixed_rows=6 * (S - 2))
+    if (J2 - 2 * S) % tj:
+        raise ValueError(f"(J2-2S)={J2 - 2 * S} not a multiple of tj={tj}")
+
+    const_ok = {"t_1", "tconst", "dvdxi_const"}
+
+    def _ingest3(name, a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bfloat16:
+            if name not in const_ok:
+                raise ValueError(f"bf16 {name!r} is not a constant stream")
+            return a
+        return a.astype(F)
+
+    names3 = ["u", "v", "t", "t_1", "tconst", "dvdxi_const"]
+    f3 = [_ingest3(n, a) for n, a in
+          zip(names3, (u, v, t, t_1, tconst, dvdxi_const))]
+    d3 = dict(zip(names3, f3))
+    f2names = ["ww_row", "ww1_k0", "mu", "mu_tend", "msftx", "msfty",
+               "cu", "cv", "msft2"]
+    f2 = {n: jnp.asarray(a, F)[:, None, :] for n, a in
+          zip(f2names, (ww_row, ww1_k0, mu, mu_tend, msftx, msfty,
+                        cu, cv, msft2))}
+    kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
+
+    if fuse_w:
+        if w is None or pp is None or rdn is None:
+            raise ValueError("fuse_w requires w, pp and rdn")
+        w3a = jnp.asarray(w, F)
+        pp3a = jnp.asarray(pp, F)
+        dts_f = jnp.asarray(dts, F)
+        epssm_f = jnp.asarray(epssm, F)
+        c_w = jnp.asarray(cw, F) * dts_f
+        g_t = dts_f * jnp.asarray(gw, F)
+        beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
+        alfa_h = jnp.float32(1.0) - beta_h
+        cb = c_w * beta_h
+        rdn_a = jnp.asarray(rdn, F)
+        rdnw_a = jnp.asarray(rdnw, F)
+        kv = jnp.arange(K)
+        kintv = (kv > k0) & (kv <= k1)
+        a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
+                          jnp.float32(0.0))
+        b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a,
+                          jnp.float32(0.0))
+        diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
+        crdn_vec = c_w * rdn_a
+        erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+    else:
+        c_w = g_t = 0.0
+
+    scal = jnp.stack([jnp.asarray(s_, F)
+                      for s_ in (rdx, rdy, dts, cs2, epssm, c_w, g_t)
+                      ])[None, :]
+    i0, i1, j0, j1 = window
+    j_off, i_off = offsets
+    win = jnp.stack([jnp.asarray(x, jnp.int32)
+                     for x in (i0, i1, j0, j1, j_off, i_off)])[None, :]
+
+    # pl.Element windows: rows [S - lo + g*tj, + nrows)
+    def ev(nrows, lo, kk):
+        return pl.BlockSpec(
+            (pl.Element(nrows), pl.Element(kk), pl.Element(I)),
+            lambda g, o=S - lo: (o + g * tj, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    smk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    ssc = pl.BlockSpec((1, 7), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
+
+    c3 = ev(tj, 0, K)
+    c2 = ev(tj, 0, 1)
+    nw = 2 if fuse_w else 0
+    in_specs = [ssc, swin,
+                ev(tj + 2 * S - 2, S - 1, K),     # u
+                ev(tj + 2 * S - 1, S - 1, K),     # v (hi extent S)
+                c3,                                # t (center, aliased)
+                ev(tj + 2, 1, K),                  # t_1 (theta stencils)
+                c3,                                # tconst
+                ev(tj + 2 * S - 2, S - 1, K)]      # dvdxi_const
+    if fuse_w:
+        in_specs += [c3, c3]                       # w, pp
+    in_specs += [c2, c2,                           # ww_row, ww1_k0
+                 ev(tj + 2 * S, S, 1),             # mu
+                 ev(tj + 2 * S - 2, S - 1, 1),     # mu_tend
+                 c2, c2,                           # msftx, msfty
+                 ev(tj + 2 * S - 2, S - 1, 1),     # cu
+                 ev(tj + 2 * S - 1, S - 1, 1),     # cv
+                 ev(tj + 2 * S - 2, S - 1, 1)]     # msft2
+    in_specs += [sk] * 4
+    if fuse_w:
+        in_specs += [smk, smk, smk, sk, sk]
+
+    operands = [scal, win, d3["u"], d3["v"], d3["t"], d3["t_1"],
+                d3["tconst"], d3["dvdxi_const"]]
+    if fuse_w:
+        operands += [w3a, pp3a]
+    operands += [f2[n] for n in f2names]
+    operands += kvecs
+    if fuse_w:
+        operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
+                     crdn_vec[None, :], erdn_vec[None, :]]
+
+    big = jax.ShapeDtypeStruct((J2, K, I), F)
+    thin = jax.ShapeDtypeStruct((J2, 1, I), F)
+    out_specs = [c3, c3, c3, c2, c2]
+    out_shape = [big, big, big, thin, thin]
+    if fuse_w:
+        out_specs += [c3, c3]
+        out_shape += [big, big]
+    # t, w, pp and the seed row are center-read-only -> aliased; u/v/mu
+    # have backward extended views -> fresh buffers (same hazard as the
+    # S=2 kernel's module comment)
+    aliases = {4: 0, 8 + nw: 4}
+    if fuse_w:
+        aliases[8] = 5
+        aliases[9] = 6
+
+    kernel = functools.partial(_coupled_ms_kernel, k0=k0, k1=k1, tj=tj,
+                               n_inner=S, fuse_w=fuse_w, fast_scan=fast)
+    outs = pl.pallas_call(
+        kernel,
+        grid=((J2 - 2 * S) // tj,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (3 if fuse_w else 1),
+        input_output_aliases=aliases,
+        compiler_params=_compiler_params(vmem_limit),
+        interpret=interpret,
+    )(*operands)
+    t_o, u_o, v_o, mu_o, wwrow_o = outs[:5]
+
+    def patch(out, inp):
+        out = out.at[0:S].set(inp[0:S])
+        return out.at[J2 - S : J2].set(inp[J2 - S : J2])
+
+    res = {
+        "t": t_o,
+        "u": patch(u_o, d3["u"]),
+        "v": patch(v_o, d3["v"]),
+        "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)),
+        "ww_row": wwrow_o[:, 0, :],
+    }
+    if fuse_w:
+        res["w"], res["pp"] = outs[5], outs[6]
+    return res

@@ -429,7 +429,7 @@ SHARDED_VMEM_BUDGET = 56 * 2**20
 
 
 def _pick_tj(K: int, I: int, budget: int = 15 * 2**20,
-             streams: int = 44) -> int:
+             streams: int = 44, fixed_rows: int = 0) -> int:
     """Largest j-tile (any integer up to 32) whose working set fits the
     scoped-VMEM ``budget`` (default: Mosaic's 16 MiB default limit minus
     slack).  The per-tj cost model matches Mosaic's observed accounting
@@ -442,8 +442,11 @@ def _pick_tj(K: int, I: int, budget: int = 15 * 2**20,
     tj=3 but not tj=4, and tj=3 measures ~4% off the raised-limit tj=8
     where tj=2 costs ~7%."""
     per_tj = 4 * I * (streams * K + 40)
+    # tj-independent extension rows (the depth-S trapezoid's overlap
+    # windows), double-buffered like the streams they extend
+    fixed = 4 * I * K * 2 * fixed_rows
     for cand in range(32, 1, -1):
-        if cand * per_tj <= budget:
+        if cand * per_tj + fixed <= budget:
             return cand
     return 1
 
@@ -537,7 +540,7 @@ VMEM_LIMIT_SAFE_LANES = 384
 
 
 def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None,
-                        streams: int = 44):
+                        streams: int = 44, fixed_rows: int = 0):
     """(tj, vmem_limit) for the shard_map'd loops.
 
     Default: no explicit limit, largest (any-integer) tile under Mosaic's
@@ -548,7 +551,7 @@ def sharded_tile_params(K: int, ni_loc: int, tj: int | None = None,
     use_limit = ni_loc + 2 >= VMEM_LIMIT_SAFE_LANES
     vmem_limit = SHARDED_VMEM_LIMIT if use_limit else None
     tj_loc = tj or _pick_tj(
-        K, ni_loc + 2, streams=streams,
+        K, ni_loc + 2, streams=streams, fixed_rows=fixed_rows,
         **({"budget": SHARDED_VMEM_BUDGET} if use_limit else {}))
     return tj_loc, vmem_limit
 

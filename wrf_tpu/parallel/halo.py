@@ -96,23 +96,7 @@ def widen_ring(xp: jax.Array, axis: int, axis_name: str | None,
     interior shards.  The outer cells hold the neighbors' second-from-
     edge interior cells when ``axis_name`` is given (sharded axis),
     zeros otherwise (out-of-window, mask-protected)."""
-    n = n_interior
-    if axis_name is None:
-        zshape = list(xp.shape)
-        zshape[axis] = 1
-        z = jnp.zeros(zshape, xp.dtype)
-        lo2, hi2 = z, z
-    else:
-        # interior cell i sits at ring-1 index 1+i: the outer-low cell is
-        # the previous shard's interior n-2 (its index n-1); outer-high
-        # is the next shard's interior 1 (its index 2)
-        lo2_src = lax.slice_in_dim(xp, n - 1, n, axis=axis)
-        hi2_src = lax.slice_in_dim(xp, 2, 3, axis=axis)
-        lo2 = lax.ppermute(lo2_src, axis_name, _perm_shift(axis_name, +1))
-        hi2 = lax.ppermute(hi2_src, axis_name, _perm_shift(axis_name, -1))
-    head = lax.slice_in_dim(xp, 0, n + 2, axis=axis)   # lo1+interior+hi1
-    tail = lax.slice_in_dim(xp, n + 2, xp.shape[axis], axis=axis)  # padding
-    return jnp.concatenate([lo2, head, hi2, tail], axis=axis)
+    return widen_ring_to(xp, axis, axis_name, n_interior, width=2)
 
 
 def refresh_axis2(xp: jax.Array, axis: int, axis_name: str,
@@ -121,14 +105,57 @@ def refresh_axis2(xp: jax.Array, axis: int, axis_name: str,
     the neighbors' two edge interior cells (owned cells sit at
     ``[2, 2+n)``; halos at ``[0, 2)`` and ``[2+n, 4+n)`` — see
     ``widen_ring`` for the layout)."""
-    n = n_interior
-    lo_int = lax.slice_in_dim(xp, 2, 4, axis=axis)
-    hi_int = lax.slice_in_dim(xp, n, n + 2, axis=axis)
+    return refresh_axis_w(xp, axis, axis_name, n_interior, width=2)
+
+
+def widen_ring_to(xp: jax.Array, axis: int, axis_name: str | None,
+                  n_interior: int, width: int) -> jax.Array:
+    """Grow an ALREADY ring-1-padded block to ring-``width`` along
+    ``axis`` in one exchange (generalizes :func:`widen_ring`, which is
+    the ``width=2`` case).  Layout: ``[lo_w..lo1, interior(n), hi1..hi_w,
+    <alignment padding>]`` — every ring cell adjacent to the interior,
+    before any padding.  Sharded axes (``axis_name`` given) pull the
+    ``width-1`` extra cells per side from the neighbors' interiors, which
+    therefore must span at least ``width`` cells; unsharded axes zero-pad
+    (out-of-window, mask-protected)."""
+    n, R = n_interior, width
+    if R < 2:
+        return xp
+    if axis_name is not None and n < R:
+        raise ValueError(f"ring-{R} needs >= {R} interior cells per "
+                         f"shard along {axis_name!r}, got {n}")
+    if axis_name is None:
+        zshape = list(xp.shape)
+        zshape[axis] = R - 1
+        lo_x = jnp.zeros(zshape, xp.dtype)
+        hi_x = lo_x
+    else:
+        # interior cell i sits at ring-1 index 1+i: the extra low cells
+        # are the previous shard's interior [n-R, n-1) (our e -R..-2);
+        # the extra high cells the next shard's interior [1, R)
+        lo_src = lax.slice_in_dim(xp, n - R + 1, n, axis=axis)
+        hi_src = lax.slice_in_dim(xp, 2, R + 1, axis=axis)
+        lo_x = lax.ppermute(lo_src, axis_name, _perm_shift(axis_name, +1))
+        hi_x = lax.ppermute(hi_src, axis_name, _perm_shift(axis_name, -1))
+    head = lax.slice_in_dim(xp, 0, n + 2, axis=axis)   # lo1+interior+hi1
+    tail = lax.slice_in_dim(xp, n + 2, xp.shape[axis], axis=axis)  # pad
+    return jnp.concatenate([lo_x, head, hi_x, tail], axis=axis)
+
+
+def refresh_axis_w(xp: jax.Array, axis: int, axis_name: str,
+                   n_interior: int, width: int) -> jax.Array:
+    """Refresh all ``2*width`` halo cells of a ring-``width`` block along
+    ``axis`` with ONE width-``width`` exchange (owned cells sit at
+    ``[width, width+n)``; halos at ``[0, width)`` and
+    ``[width+n, 2*width+n)`` — :func:`widen_ring_to`'s layout)."""
+    n, R = n_interior, width
+    lo_int = lax.slice_in_dim(xp, R, 2 * R, axis=axis)
+    hi_int = lax.slice_in_dim(xp, n, n + R, axis=axis)
     from_prev = lax.ppermute(hi_int, axis_name, _perm_shift(axis_name, +1))
     from_next = lax.ppermute(lo_int, axis_name, _perm_shift(axis_name, -1))
     starts_lo = [0] * xp.ndim
     starts_hi = [0] * xp.ndim
-    starts_hi[axis] = n + 2
+    starts_hi[axis] = n + R
     xp = lax.dynamic_update_slice(xp, from_prev, starts_lo)
     return lax.dynamic_update_slice(xp, from_next, starts_hi)
 
