@@ -72,9 +72,25 @@ def main():
         ("coupled f32 S=2 fast", 2, False, None, True, "", False, True),
         ("coupled bf16 S=2 fast", 2, True, None, True, "", False, True),
         ("coupled+w f32 S=2 fast", 2, False, None, True, "", True, True),
+        # depth-S trapezoid (coupled_multistep_pallas): streams/S at
+        # (tj+2S)/tj overlap re-stream cost -> bigger tj pays at deep S
+        ("coupled f32 S=4", 4, False, None, True, "", False, False),
+        ("coupled f32 S=4 tj=8", 4, False, 8, True, "", False, False),
+        ("coupled f32 S=4 tj=12", 4, False, 12, True, "", False, False),
+        ("coupled f32 S=8", 8, False, None, True, "", False, False),
+        ("coupled f32 S=8 tj=12", 8, False, 12, True, "", False, False),
+        ("coupled f32 S=8 tj=16", 8, False, 16, True, "", False, False),
+        ("coupled bf16 S=4", 4, True, None, True, "", False, False),
+        ("coupled bf16 S=8", 8, True, None, True, "", False, False),
+        ("coupled+w f32 S=4", 4, False, None, True, "", True, False),
+        ("coupled general S=2 (A/B)", 2, False, None, True, "", False,
+         False, {"WRF_TPU_COUPLED_GENERAL": "1"}),
     ]
-    for label, inner, bf16, tj, coupled, ablate, with_w, fast in exps:
+    for exp in exps:
+        label, inner, bf16, tj, coupled, ablate, with_w, fast = exp[:8]
+        env = exp[8] if len(exp) > 8 else {}
         os.environ["WRF_TPU_ABLATE"] = ablate
+        os.environ.update(env)
         try:
             per = marginal(mesh, case, nx, ny, nz, inner, bf16, tj=tj,
                            coupled=coupled, with_w=with_w, fast=fast)
@@ -83,6 +99,9 @@ def main():
         except Exception as e:
             print(f"{label}: ERROR {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
+        finally:
+            for k_ in env:
+                os.environ.pop(k_, None)
     os.environ["WRF_TPU_ABLATE"] = ""
 
 
