@@ -90,6 +90,26 @@ def fast_blocked_tolerance(nx, ny, nz, steps=9, inner=4):
                                    err_msg=k)
 
 
+def deep_blocked_tolerance(nx, ny, nz, steps=9, inner=4, with_w=False):
+    """COMPILED depth-S trapezoid (coupled_multistep_pallas, extended
+    pl.Element windows) vs the single-step fused scan on the chip — the
+    <=2 ulp/substep trapezoid tolerance class."""
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+    outs = {}
+    for inner_ in (1, inner):
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             inner_steps=inner_, with_w=with_w)
+        out = loop(loop.prepare(case_to_domain(case, with_w=with_w)),
+                   case.rdx, case.rdy, case.dts, case.epssm)
+        outs[inner_] = {k: np.asarray(v) for k, v in out.items()}
+    for k in outs[1]:
+        a, b = outs[1][k], outs[inner][k]
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
 def main():
     mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1), ("j",))
     mesh2 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("j", "i"))
@@ -110,6 +130,10 @@ def main():
           lambda: loop_backend_equal(64, 48, 16, with_w=True, smdiv=0.1))
     check("fast blocked mu_t vs exact, compiled (96x80x20, S=4)",
           lambda: fast_blocked_tolerance(96, 80, 20))
+    check("deep coupled trapezoid vs single, compiled (96x80x20, S=4)",
+          lambda: deep_blocked_tolerance(96, 80, 20))
+    check("deep coupled trapezoid +w vs single, compiled (96x80x20, S=4)",
+          lambda: deep_blocked_tolerance(96, 80, 20, with_w=True))
     print("FAILURES:", FAILURES)
     return 1 if FAILURES else 0
 
