@@ -8,7 +8,7 @@ The headline record (top-level value) is the mu_t-only device-resident loop
 at 512x512x50 — the same metric every round reports, so BENCH_r*.json stays
 round-over-round comparable.  From round 2 the loop is temporally blocked
 (S substeps per Pallas pass — ops/advance_mu_t_msteps.py): the headline
-runs S=16 fast mode (re-associated f32, tolerance class of the XLA
+runs S=32 fast mode (re-associated f32, tolerance class of the XLA
 tier), the "exact S=8" row tracks the bit-equal blocked scan, and the
 "S=1" row tracks the unblocked number for continuity.  ``configs`` adds machine-readable records for
 the flagship coupled substep (advance_uv + advance_mu_t fused), the
@@ -48,33 +48,43 @@ import numpy as np
 
 REFERENCE_GPS = 144448 / 51e-6  # 74*61*32 points / 0.051 ms
 
-# (name, nx, ny, nz, coupled, with_w, bf16, inner_steps, (n1, n2))
+# (name, nx, ny, nz, coupled, with_w, bf16, inner_steps, (n1, n2), tj)
 # Temporal blocking (inner_steps=S, ops/advance_mu_t_msteps.py) is ON
 # for the headline and coupled configs — it computes the identical
 # substep sequence (bit-equal for mu_t exact mode; <=2 ulp/substep for
 # coupled), S substeps per HBM pass.  The headline additionally uses
 # fast mode ("<S>f": re-associated f32 — affine-hoisted ww cumsum +
 # wind-linear folding, the same tolerance class as the XLA tier;
-# "fast": true in the record).  Module-level so tests can exercise
-# every row's code path at small sizes (tests/test_bench.py).
+# "fast": true in the record).  Counts are pass-aligned at runtime
+# (blocked_counts); the headline's long span buys a ~27 ms signal at
+# its ~0.02 ms/substep rate.  Depths/tj are the chip-sweep winners
+# (tools/msteps_tune.py, 2026-08-17): mu_t fast S=24/32 both ~0.022,
+# exact S=8; coupled S=4 tj=12 0.546-0.560 (S=8 ties within noise but
+# leaves no VMEM margin — tj>8 compile-crashes); coupled+w S=4 1.179.
+# Module-level so tests can exercise every row's code path at small
+# sizes (tests/test_bench.py).
 SPECS = [
     ("mu_t 512x512x50", 512, 512, 50,
-     False, False, False, "16f", (50, 250)),
+     False, False, False, "32f", (50, 1250), None),
     ("mu_t 512x512x50 exact S=8", 512, 512, 50,
-     False, False, False, 8, (50, 250)),
+     False, False, False, 8, (50, 250), None),
     ("mu_t 512x512x50 S=1", 512, 512, 50,
-     False, False, False, 1, (50, 250)),
+     False, False, False, 1, (50, 250), None),
     ("coupled 512x512x50", 512, 512, 50,
-     True, False, False, 2, (50, 250)),
+     True, False, False, 4, (50, 250), 12),
     ("coupled+w 512x512x50", 512, 512, 50,
-     True, True, False, 2, (50, 250)),
+     True, True, False, 4, (50, 250), None),
     ("coupled CONUS 1500x1500x50",
-     1500, 1500, 50, True, False, False, 1, (20, 80)),
+     1500, 1500, 50, True, False, False, 4, (20, 80), None),
     # opt-in reduced-precision constant streams (state/outputs f32)
     ("mu_t 512x512x50 bf16-const",
-     512, 512, 50, False, False, True, 8, (50, 250)),
+     512, 512, 50, False, False, True, 8, (50, 250), None),
     ("coupled 512x512x50 bf16-const",
-     512, 512, 50, True, False, True, 2, (50, 250)),
+     512, 512, 50, True, False, True, 4, (50, 250), None),
+    # unblocked CONUS continuity row, last: the costliest compiles, the
+    # first to be dropped by the time budget
+    ("coupled CONUS 1500x1500x50 S=1",
+     1500, 1500, 50, True, False, False, 1, (20, 80), None),
 ]
 
 
@@ -88,7 +98,7 @@ def _make_run(loop, arrays, scalars):
 
 
 def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
-           inner_steps=1, fast=False):
+           inner_steps=1, fast=False, tj=None):
     from wrf_tpu.models.small_step import SmallStepLoop
     from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 
@@ -96,13 +106,13 @@ def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
     if coupled:
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              with_w=with_w, const_dtype=cd,
-                             inner_steps=inner_steps)
+                             inner_steps=inner_steps, tj=tj)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     else:
         loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                  n_steps=steps, vary_winds=True,
                                  const_dtype=cd, inner_steps=inner_steps,
-                                 fast=fast)
+                                 fast=fast, tj=tj)
         arrays = loop.prepare(case_to_domain(case))
     return _make_run(loop, arrays,
                      (case.rdx, case.rdy, case.dts, case.epssm))
@@ -110,12 +120,17 @@ def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
 
 def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
                    coupled=False, with_w=False, bf16=False, inner_steps=1,
-                   fast=False):
+                   fast=False, tj=None, min_passes=8):
     """per-step seconds by the two-step-count difference method."""
+    from wrf_tpu.utils.timing import blocked_counts
+
+    # pass-align so the blocked loops' single-step tails cancel in the
+    # difference (blocked_counts docstring has the failure mode)
+    n1, n2 = blocked_counts(inner_steps, n1, n2, min_passes=min_passes)
     times = {}
     for steps in (n1, n2):
         run = _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16,
-                     inner_steps, fast)
+                     inner_steps, fast, tj)
         checksum = run()  # compile + warm up (also proves non-NaN execution)
         assert np.isfinite(checksum), f"non-finite checksum at steps={steps}"
         best = float("inf")
@@ -191,7 +206,8 @@ def main():
     _wait_healthy()
     mesh = make_mesh([jax.devices()[0]], (1, 1))
 
-    for name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2) in SPECS:
+    for (name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2),
+         tj) in SPECS:
         if time.perf_counter() - t_start > budget_s:
             records.append({"config": name, "skipped": "time budget"})
             continue
@@ -202,7 +218,7 @@ def main():
         try:
             per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
                                  coupled=coupled, with_w=with_w, bf16=bf16,
-                                 inner_steps=inner, fast=fast)
+                                 inner_steps=inner, fast=fast, tj=tj)
             records.append({
                 "config": name,
                 "ms_per_step": round(per * 1e3, 4),

@@ -29,10 +29,10 @@ def _tiny_dims(inner):
 
 
 @pytest.mark.parametrize(
-    "name,coupled,with_w,bf16,inner",
-    [(r[0], r[4], r[5], r[6], r[7]) for r in bench.SPECS],
+    "name,coupled,with_w,bf16,inner,tj",
+    [(r[0], r[4], r[5], r[6], r[7], r[9]) for r in bench.SPECS],
 )
-def test_spec_row_executes(name, coupled, with_w, bf16, inner):
+def test_spec_row_executes(name, coupled, with_w, bf16, inner, tj):
     mesh = make_mesh([jax.devices()[0]], (1, 1))
     nx, ny, nz, n1, n2 = _tiny_dims(inner)
     case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
@@ -40,8 +40,20 @@ def test_spec_row_executes(name, coupled, with_w, bf16, inner):
     per = bench.bench_marginal(
         mesh, case, nx, ny, nz, n1=n1, n2=n2, repeats=1,
         coupled=coupled, with_w=with_w, bf16=bf16,
-        inner_steps=int(str(inner).rstrip("f")), fast=fast)
+        inner_steps=int(str(inner).rstrip("f")), fast=fast, tj=tj,
+        min_passes=1)
     assert np.isfinite(per)
+
+
+def test_blocked_counts_pass_aligned():
+    # the marginal's two counts must leave ZERO single-step tail at any
+    # depth, or the difference blends blocked and single-step rates
+    from wrf_tpu.utils.timing import blocked_counts
+
+    for s in (2, 4, 8, 16, 24, 32, 48, 64, 96):
+        n1, n2 = blocked_counts(s, 50, 250)
+        assert (n1 - 1) % s == 0 and (n2 - 1) % s == 0 and n2 > n1
+    assert blocked_counts(1, 50, 250) == (50, 250)
 
 
 def test_emit_headline_is_the_named_config(capsys):

@@ -22,6 +22,10 @@ from bench_msteps import build  # noqa: E402  (same tools dir)
 
 def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, coupled=False,
              with_w=False, fast=False, n1=50, n2=250):
+    # pass-align so the single-step tails cancel (see blocked_counts)
+    from wrf_tpu.utils.timing import blocked_counts
+
+    n1, n2 = blocked_counts(inner, n1, n2)
     times = {}
     for steps in (n1, n2):
         run = build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=tj,
@@ -29,7 +33,7 @@ def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, coupled=False,
         cs = run()
         assert np.isfinite(cs), f"non-finite checksum {cs}"
         best = float("inf")
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             run()
             best = min(best, time.perf_counter() - t0)
@@ -52,39 +56,44 @@ def main():
     # bf16 S=16 fast 0.4121 (bf16 tile params hurt the compute-bound
     # kernel), mu_t f32 S=24 0.4772 / S=32 0.5046 (deep-unroll
     # regression of the old body).
+    # MEASURED (2026-08-17 chip sweep, 512x512x50 two-build marginal):
+    #   coupled exact trapezoid: S=2 0.84 | S=4 0.5911 (tj=8 0.5919,
+    #     tj=12 0.5602) | S=8 0.5517 (tj=12/16: compile helper crash —
+    #     tj+2S rows overflow) | bf16 S=4 0.5733, S=8 0.5691 (bf16
+    #     stops paying once overlap/compute dominates)
+    #   coupled+w: S=4 1.1790 (vs 1.28 at S=2); S=2 fast 1.1857
+    #   coupled fast S=2 0.8040 / bf16 0.7279; general-path A/B 0.8652
+    #   mu_t S=8 exact control 0.3607 (matches README);
+    #     fast S=8 0.0894 (clean — 200%8==0)
+    #   mu_t fast S in {16..96} from that sweep are INVALID: the (50,
+    #   250) counts left "200 % S = 8" single-step substeps in the
+    #   difference (blocked_counts docstring) — S=96 printed 0.0105,
+    #   i.e. a negative implied pass cost.  marginal() now pass-aligns;
+    #   the ladder below re-measures with clean counts.
+    # MEASURED (aligned sweep #2, same day): mu_t fast f32 S=16 0.0429
+    # | S=24 0.0260 | S=32 0.0243 | S=48 0.0277 | S=64/96 NEGATIVE
+    # (2-3 pass signal under relay noise — blocked_counts now forces
+    # >=8 passes); bf16 fast S=32 0.0131, S=64 0.0231 (noise);
+    # mu_t exact S=16 0.3760 (S=8 stays the exact sweet spot);
+    # coupled S=6 0.5699, S=8 0.5840 (vs 0.5517 sweep #1 — +-0.03
+    # run-to-run), S=12 0.6527 (overlap rows outgrow the stream
+    # saving), S=16 / S=8 tj=10 compile crash; coupled+w S=8 1.2215
+    # (S=4's 1.1790 is the +w winner).
     exps = [
         # (label, inner, bf16, tj, coupled, ablate, with_w, fast)
-        # closed-form fast body (no per-substep work at all): the S
-        # ladder extends until the per-pass streams+precompute stop
-        # amortizing; bf16 re-probed because the closed form removed the
-        # compute that made bf16 tile params a loss under the old body
+        # deep-fast confirmation at >=8-pass signal, best-of-6
         ("mu_t f32 S=8 fast", 8, False, None, False, "", False, True),
-        ("mu_t f32 S=16 fast", 16, False, None, False, "", False, True),
         ("mu_t f32 S=24 fast", 24, False, None, False, "", False, True),
         ("mu_t f32 S=32 fast", 32, False, None, False, "", False, True),
         ("mu_t f32 S=48 fast", 48, False, None, False, "", False, True),
         ("mu_t f32 S=64 fast", 64, False, None, False, "", False, True),
         ("mu_t f32 S=96 fast", 96, False, None, False, "", False, True),
-        ("mu_t bf16 S=16 fast", 16, True, None, False, "", False, True),
         ("mu_t bf16 S=32 fast", 32, True, None, False, "", False, True),
-        ("mu_t f32 S=8 exact (control)", 8, False, None, False, "",
+        ("mu_t bf16 S=64 fast", 64, True, None, False, "", False, True),
+        ("coupled f32 S=4 tj=12 (confirm)", 4, False, 12, True, "",
          False, False),
-        ("coupled f32 S=2 fast", 2, False, None, True, "", False, True),
-        ("coupled bf16 S=2 fast", 2, True, None, True, "", False, True),
-        ("coupled+w f32 S=2 fast", 2, False, None, True, "", True, True),
-        # depth-S trapezoid (coupled_multistep_pallas): streams/S at
-        # (tj+2S)/tj overlap re-stream cost -> bigger tj pays at deep S
-        ("coupled f32 S=4", 4, False, None, True, "", False, False),
-        ("coupled f32 S=4 tj=8", 4, False, 8, True, "", False, False),
-        ("coupled f32 S=4 tj=12", 4, False, 12, True, "", False, False),
-        ("coupled f32 S=8", 8, False, None, True, "", False, False),
-        ("coupled f32 S=8 tj=12", 8, False, 12, True, "", False, False),
-        ("coupled f32 S=8 tj=16", 8, False, 16, True, "", False, False),
-        ("coupled bf16 S=4", 4, True, None, True, "", False, False),
-        ("coupled bf16 S=8", 8, True, None, True, "", False, False),
-        ("coupled+w f32 S=4", 4, False, None, True, "", True, False),
-        ("coupled general S=2 (A/B)", 2, False, None, True, "", False,
-         False, {"WRF_TPU_COUPLED_GENERAL": "1"}),
+        ("coupled+w f32 S=4 (confirm)", 4, False, None, True, "", True,
+         False),
     ]
     for exp in exps:
         label, inner, bf16, tj, coupled, ablate, with_w, fast = exp[:8]
