@@ -30,12 +30,12 @@ from wrf_tpu.parallel.mesh import make_mesh  # noqa: E402
 from wrf_tpu.parallel.sharded import case_to_domain  # noqa: E402
 
 
-def analyze(case, mesh_shape, steps, with_w=False):
+def analyze(case, mesh_shape, steps, with_w=False, inner_steps=1):
     n_dev = mesh_shape[0] * mesh_shape[1]
     mesh = make_mesh(jax.devices()[:n_dev], mesh_shape)
     nx, ny, nz = case.bounds.ide, case.bounds.jde, case.bounds.kdim
     loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                         with_w=with_w)
+                         with_w=with_w, inner_steps=inner_steps)
     arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     scalars = {"rdx": jnp.float32(case.rdx), "rdy": jnp.float32(case.rdy),
                "dts": jnp.float32(case.dts), "epssm": jnp.float32(case.epssm)}
@@ -80,6 +80,20 @@ def main():
               f"{r['setup_collectives']} one-time setup collectives")
     print("(volumes are per shard per substep and independent of mesh size —"
           " the flat-extrapolation premise of SCALING.md)")
+
+    # the depth-S trapezoid's 1/S launch schedule: the scan body is now
+    # per BLOCK, so collectives-per-substep must fall as 1/S (same
+    # bytes — each exchange is width S instead of width 1)
+    S = 4
+    print(f"depth-{S} trapezoid (inner_steps={S}):")
+    for shape in ((2, 2), (4, 2)):
+        r = analyze(case, shape, steps=4 * S + 1, inner_steps=S)
+        per_sub = r["collectives_per_substep"] / S
+        vol = (f"{r['halo_bytes_per_substep'] / S / 1024:.1f} KiB"
+               if r["halo_bytes_per_substep"] else "0")
+        print(f"  mesh {shape}: {r['collectives_per_substep']} "
+              f"collective-permutes/block = {per_sub:.1f}/substep "
+              f"moving {vol}/shard/substep")
 
 
 if __name__ == "__main__":

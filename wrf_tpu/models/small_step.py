@@ -424,9 +424,11 @@ class SmallStepLoop:
                 # hi1..hiS, alignment]) built ONCE outside the scan; on
                 # sharded axes the outer cells hold neighbor data and
                 # the block-carried mu/u/v halos are refreshed per block
-                # with a width-S exchange — same bytes as the
-                # per-substep width-1 exchange, 1/S the collective
-                # launches
+                # with a width-S exchange — ~2/S the per-substep
+                # path's collective launches at a volume premium (u
+                # joins the exchange; HLO-measured in
+                # tools/scaling_report.py, negligible at production
+                # tiles per SCALING.md)
                 S = inner_steps
                 n_blocks = rem // S
                 jn = "j" if j_sh else None
