@@ -59,8 +59,11 @@ def main(argv=None) -> int:
                         "this trades ~0.4%% forcing-proportional error "
                         "for throughput (state/outputs stay f32)")
     p.add_argument("--inner-steps", type=int, default=1,
-                   help="temporal blocking: coupled substeps fused per "
-                        "Pallas pass (2; single-shard pallas, no w/smdiv)")
+                   help="temporal blocking: S coupled substeps fused per "
+                        "Pallas pass (depth-S trapezoid; pallas kernel, "
+                        "any mesh, composes with --with-w; not with "
+                        "smdiv — chip sweet spot S=4-8 at 512^2, S=4 "
+                        "at CONUS)")
     p.add_argument("--fast", action="store_true",
                    help="with --inner-steps: re-associated f32 fast mode "
                         "(log-depth ww cumsum; XLA-tier tolerance class)")
