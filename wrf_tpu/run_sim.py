@@ -62,8 +62,13 @@ def main(argv=None) -> int:
                    help="temporal blocking: S coupled substeps fused per "
                         "Pallas pass (depth-S trapezoid; pallas kernel, "
                         "any mesh, composes with --with-w; not with "
-                        "smdiv — chip sweet spot S=4-8 at 512^2, S=4 "
-                        "at CONUS)")
+                        "smdiv).  Pays in acoustic-dominated loops "
+                        "(driver/bench: S=4-8 halves the substep at "
+                        "512^2); inside RK3 the per-stage ring-S "
+                        "prologue offsets it (chip-measured 100-step "
+                        "runs: 15.1 vs 14.7 ms/large-step at ns=6, "
+                        "25.4 vs 23.2 at ns=12) because the closure "
+                        "re-tendencies every stage")
     p.add_argument("--fast", action="store_true",
                    help="with --inner-steps: re-associated f32 fast mode "
                         "(log-depth ww cumsum; XLA-tier tolerance class)")
