@@ -106,7 +106,7 @@ def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
     if coupled:
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              with_w=with_w, const_dtype=cd,
-                             inner_steps=inner_steps, tj=tj)
+                             inner_steps=inner_steps, fast=fast, tj=tj)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
     else:
         loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,

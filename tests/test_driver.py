@@ -113,8 +113,12 @@ def test_driver_all_tiers(tmp_path, small_case, capsys):
     tiers, both sharded tiers, the three coupled tiers and their +w variants,
     the two bf16-const rows at their documented tolerance, plus the
     temporally-blocked rows and their fast-mode variants — and every row
-    PASSes, with the scalar tiers bit-exact."""
-    d = fixtures.write_case(small_case, tmp_path / "fx", steps=2)
+    PASSes, with the scalar tiers bit-exact.  steps=9 so the blocked
+    tiers actually execute blocks (inner=2: 4 blocks; inner=4: 2) —
+    at steps=2 the (n_steps-1)//S gate would silently rerun every ~blk
+    row as its unblocked tier and the 18 PASSes would certify nothing
+    about temporal blocking."""
+    d = fixtures.write_case(small_case, tmp_path / "fx", steps=9)
     rc = driver.main([str(d), "--tier", "all", "--mesh", "2x2"])
     out = capsys.readouterr().out
     assert rc == 0

@@ -322,9 +322,12 @@ def test_blocked_fast_mode():
     exact = _run(case, nx, ny, nz, (1, 1), 9, 4)
     fast = _run(case, nx, ny, nz, (1, 1), 9, 4, fast=True)
     assert set(exact) == set(fast)
+    # the fast path must actually have engaged: its re-associations make
+    # bit-identity with the exact scan across EVERY field implausible
+    assert any(not np.array_equal(np.asarray(exact[k]), np.asarray(fast[k]))
+               for k in exact)
     for k in sorted(exact):
         a, b = np.asarray(exact[k]), np.asarray(fast[k])
-        assert not np.array_equal(a, b) or np.all(a == b)  # sanity
         scale = max(float(np.max(np.abs(a))), 1.0)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=k)
@@ -346,7 +349,7 @@ def test_blocked_fast_mode_on_mesh():
 
 @pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4)])
 def test_coupled_blocked_on_mesh(mesh_shape):
-    """Multi-chip blocked coupled pairs: ring-2 halos (halo.widen_ring)
+    """Multi-chip blocked coupled pairs: ring-2 halos (halo.widen_ring_to)
     with a width-2 exchange per pair — same bytes as the per-substep
     width-1 exchange, half the collective launches.  Must match the
     single-step scan on the same mesh at the tier tolerances."""

@@ -140,6 +140,10 @@ class SmallStepLoop:
             raise ValueError("const_dtype requires the pallas kernel")
         if not isinstance(inner_steps, int) or inner_steps < 1:
             raise ValueError("inner_steps must be a positive integer")
+        if fast and inner_steps == 1:
+            raise ValueError("fast re-associates the BLOCKED pass: it "
+                             "requires inner_steps > 1 (alone it would "
+                             "silently no-op)")
         if inner_steps > 1:
             # the depth-S trapezoid needs +-S j rows of mu per block,
             # exchanged as a width-S ring (S=2 keeps the hand-unrolled

@@ -49,9 +49,137 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .advance_mu_t_pallas import (
     _compiler_params, _k_range_mask, _pick_tj, _row_view, _view,
+    ablate_from_env,
 )
 
 F = jnp.float32
+
+
+# ------------------------------------------------------------------ #
+# In-kernel helpers shared VERBATIM by the S=2 pair kernel and the
+# depth-S trapezoid (identical FP association — hoisting them here is
+# bit-preserving; a numerics change lands in both paths at once).
+# ------------------------------------------------------------------ #
+def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
+                   tcon, interp, rdnw3, t1c, t1_jp, t1_jm, t1_ip, t1_im,
+                   msftx, msfty, rdx, rdy, dts, fast_scan, K, k0, k1):
+    """(ww_scan, theta): the seeded vertical ww scan (sequential in-VMEM
+    fori_loop, or the re-associated log-depth masked cumsum under
+    ``fast_scan``) and the center-row theta update."""
+    def scan_body(k, _):
+        scan_ref[:, pl.ds(k, 1), :] = (
+            scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
+        )
+        return 0
+
+    if fast_scan:
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+
+    def ww_scan(steps, seed):
+        if fast_scan:
+            y = jnp.where(kmask_w, roll_k(steps, 1), F(0.0))
+            d = 1
+            while d < K:
+                y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
+                d *= 2
+            return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
+        scan_ref[:] = roll_k(steps, 1)
+        scan_ref[:, k0 : k0 + 1, :] = seed
+        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
+
+    def theta(t_in, u, v_c, v_p, ww_new):
+        t_half = t_in + tcon
+        wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
+        vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
+        fy = v_p * (t1_jp + t1c) - v_c * (t1c + t1_jm)
+        fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
+        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
+        return jnp.where(kmask_upd & mask_c,
+                         t_half - (dts * msfty) * (horiz + vert), t_in)
+
+    return ww_scan, theta
+
+
+def _w_solver(*, scan_ref, cpw_ref, dpw_ref, aw_ref, bw_ref, dgw_ref,
+              crdn_ref, erdn_ref, roll_k, kmask_upd, kmask_w, mask_c,
+              rdnw3, K, k0, k1, epssm, c_w, g_t):
+    """w_step: the fused vertically-implicit w/pp substep — column-local
+    Thomas solve, pointwise in (i, j), identical to the single-step
+    kernel's fuse_w block (advance_mu_t_pallas._kernel); ``scan_ref``
+    doubles as rhs storage (its ww values are already consumed)."""
+    beta = F(0.5) * (F(1.0) + epssm)
+    alfa = F(1.0) - beta
+    crdn = crdn_ref[:].reshape(1, K, 1)
+    erdn = erdn_ref[:].reshape(1, K, 1)
+
+    def w_fwd(k, _):
+        ak = aw_ref[0, k]
+        denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
+        cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
+        dpw_ref[:, pl.ds(k, 1), :] = (
+            scan_ref[:, pl.ds(k, 1), :]
+            + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
+        ) / denom
+        return 0
+
+    def w_bwd(m, _):
+        k = k1 - 1 - m
+        dpw_ref[:, pl.ds(k, 1), :] = (
+            dpw_ref[:, pl.ds(k, 1), :]
+            - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
+        )
+        return 0
+
+    def w_step(wf, ppf, t_full):
+        w_act = jnp.where(kmask_w, wf, F(0.0))
+        dvz = jnp.where(kmask_upd,
+                        rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
+        scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
+                       + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
+        zrow = jnp.zeros_like(wf[:, :1, :])
+        cpw_ref[:, k0 : k0 + 1, :] = zrow
+        dpw_ref[:, k0 : k0 + 1, :] = zrow
+        jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+        jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+        w_sol = dpw_ref[:]
+        w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
+        wn_act = jnp.where(kmask_w, w_sol, F(0.0))
+        dvz_new = jnp.where(kmask_upd,
+                            rdnw3 * (roll_k(wn_act, -1) - wn_act),
+                            F(0.0))
+        pp_new = jnp.where(kmask_upd & mask_c,
+                           ppf - c_w * (beta * dvz_new + alfa * dvz),
+                           ppf)
+        return w_new, pp_new
+
+    return w_step
+
+
+def _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw, K, k0, k1):
+    """Host-side Thomas coefficients of the implicit w/pp system —
+    FP association copied from the single-step wrapper
+    (advance_mu_t_pallas.advance_mu_t_pallas); shared by both blocked
+    coupled wrappers.  Returns (c_w, g_t, a, b, diag, crdn, erdn)."""
+    dts_f = jnp.asarray(dts, F)
+    epssm_f = jnp.asarray(epssm, F)
+    c_w = jnp.asarray(cw, F) * dts_f
+    g_t = dts_f * jnp.asarray(gw, F)
+    beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
+    alfa_h = jnp.float32(1.0) - beta_h
+    cb = c_w * beta_h
+    rdn_a = jnp.asarray(rdn, F)
+    rdnw_a = jnp.asarray(rdnw, F)
+    kv = jnp.arange(K)
+    kintv = (kv > k0) & (kv <= k1)
+    a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
+                      jnp.float32(0.0))
+    b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a,
+                      jnp.float32(0.0))
+    diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
+    crdn_vec = c_w * rdn_a
+    erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+    return c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec, erdn_vec
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
@@ -414,11 +542,9 @@ def advance_mu_t_multistep_pallas(
     idx_mu = idx_wwrow + 2
     aliases = {idx_t: 0, idx_mu: 1, idx_wwrow: 2}
 
-    import os
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                n_inner=n_inner, has_wscale=has_wscale,
-                               fast=fast,
-                               ablate=os.environ.get("WRF_TPU_ABLATE", ""))
+                               fast=fast, ablate=ablate_from_env())
     t_o, mu_o, wwrow_o = pl.pallas_call(
         kernel,
         grid=((Jp - 2) // tj,),
@@ -574,94 +700,21 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
     msft2_c = msft2e[sl_c]
     cu_c = cue[sl_c]
 
-    def scan_body(k, _):
-        scan_ref[:, pl.ds(k, 1), :] = (
-            scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
-        )
-        return 0
+    ww_scan, theta = _phase_helpers(
+        scan_ref=scan_ref, roll_i=roll_i, roll_k=roll_k,
+        kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c, tcon=tcon,
+        interp=interp, rdnw3=rdnw3, t1c=t1c, t1_jp=t1_jp, t1_jm=t1_jm,
+        t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty, rdx=rdx,
+        rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0, k1=k1)
 
-    if fast_scan:
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-
-    def ww_scan(steps, seed):
-        if fast_scan:
-            # log-depth masked cumsum (re-associated f32 — the coupled
-            # "fast" option; see the mu_t kernel's fast mode)
-            y = jnp.where(kmask_w, roll_k(steps, 1), F(0.0))
-            d = 1
-            while d < K:
-                y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
-                d *= 2
-            return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
-        scan_ref[:] = roll_k(steps, 1)
-        scan_ref[:, k0 : k0 + 1, :] = seed
-        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
-        return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
-
-    def theta(t_in, u, v_c, v_p, ww_new):
-        t_half = t_in + tcon
-        wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
-        vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
-        fy = v_p * (t1_jp + t1c) - v_c * (t1c + t1_jm)
-        fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
-        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
-        return jnp.where(kmask_upd & mask_c,
-                         t_half - (dts * msfty) * (horiz + vert), t_in)
-
-    # fused vertically-implicit w/pp substep: identical to the single-
-    # step kernel's fuse_w block (advance_mu_t_pallas._kernel) — column-
-    # local Thomas solve, pointwise in (i, j), so it composes with the
-    # trapezoid without any extended-row work; scan_ref doubles as rhs
-    # storage (its ww values are already consumed by theta)
     if fuse_w:
-        epssm = scal_ref[0, 4]
-        c_w = scal_ref[0, 5]
-        g_t = scal_ref[0, 6]
-        beta = F(0.5) * (F(1.0) + epssm)
-        alfa = F(1.0) - beta
-        crdn = crdn_ref[:].reshape(1, K, 1)
-        erdn = erdn_ref[:].reshape(1, K, 1)
-
-        def w_fwd(k, _):
-            ak = aw_ref[0, k]
-            denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
-            cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
-            dpw_ref[:, pl.ds(k, 1), :] = (
-                scan_ref[:, pl.ds(k, 1), :]
-                + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
-            ) / denom
-            return 0
-
-        def w_bwd(m, _):
-            k = k1 - 1 - m
-            dpw_ref[:, pl.ds(k, 1), :] = (
-                dpw_ref[:, pl.ds(k, 1), :]
-                - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
-            )
-            return 0
-
-        def w_step(wf, ppf, t_full):
-            w_act = jnp.where(kmask_w, wf, F(0.0))
-            dvz = jnp.where(kmask_upd,
-                            rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
-            scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
-                           + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
-            zrow = jnp.zeros_like(wf[:, :1, :])
-            cpw_ref[:, k0 : k0 + 1, :] = zrow
-            dpw_ref[:, k0 : k0 + 1, :] = zrow
-            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
-            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
-            w_sol = dpw_ref[:]
-            w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
-            wn_act = jnp.where(kmask_w, w_sol, F(0.0))
-            dvz_new = jnp.where(kmask_upd,
-                                rdnw3 * (roll_k(wn_act, -1) - wn_act),
-                                F(0.0))
-            pp_new = jnp.where(kmask_upd & mask_c,
-                               ppf - c_w * (beta * dvz_new + alfa * dvz),
-                               ppf)
-            return w_new, pp_new
-
+        w_step = _w_solver(
+            scan_ref=scan_ref, cpw_ref=cpw_ref, dpw_ref=dpw_ref,
+            aw_ref=aw_ref, bw_ref=bw_ref, dgw_ref=dgw_ref,
+            crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
+            kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
+            rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
+            c_w=scal_ref[0, 5], g_t=scal_ref[0, 6])
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
@@ -772,10 +825,12 @@ def coupled_two_step_pallas(
     """
     del kde
     J2, K, I = jnp.shape(t)
-    if (J2 - 4) % (tj or 1):
-        raise ValueError(f"(J2-4)={J2-4} not a multiple of tj={tj}")
     if tj is None:
         tj = _pick_tj(K, I, streams=64)
+    # default tj BEFORE this guard: checking modulo (tj or 1) would let
+    # a picked tile silently truncate the grid (unwritten output rows)
+    if (J2 - 4) % tj:
+        raise ValueError(f"(J2-4)={J2-4} not a multiple of tj={tj}")
 
     const_ok = {"t_1", "tconst", "dvdxi_const"}
 
@@ -803,26 +858,9 @@ def coupled_two_step_pallas(
             raise ValueError("fuse_w requires w, pp and rdn")
         w3a = jnp.asarray(w, F)
         pp3a = jnp.asarray(pp, F)
-        # Thomas coefficients — FP association copied from the single-
-        # step wrapper (advance_mu_t_pallas.advance_mu_t_pallas)
-        dts_f = jnp.asarray(dts, F)
-        epssm_f = jnp.asarray(epssm, F)
-        c_w = jnp.asarray(cw, F) * dts_f
-        g_t = dts_f * jnp.asarray(gw, F)
-        beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
-        alfa_h = jnp.float32(1.0) - beta_h
-        cb = c_w * beta_h
-        rdn_a = jnp.asarray(rdn, F)
-        rdnw_a = jnp.asarray(rdnw, F)
-        kv = jnp.arange(K)
-        kintv = (kv > k0) & (kv <= k1)
-        a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
-                          jnp.float32(0.0))
-        b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a,
-                          jnp.float32(0.0))
-        diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
-        crdn_vec = c_w * rdn_a
-        erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+        (c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec,
+         erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
+                                    K, k0, k1)
     else:
         c_w = g_t = 0.0
 
@@ -1043,87 +1081,21 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     t_c = t_ref[:]
     seed = wwrow_ref[:]
 
-    def scan_body(k, _):
-        scan_ref[:, pl.ds(k, 1), :] = (
-            scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
-        )
-        return 0
-
-    if fast_scan:
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-
-    def ww_scan(steps, seed):
-        if fast_scan:
-            y = jnp.where(kmask_w, roll_k(steps, 1), F(0.0))
-            d = 1
-            while d < K:
-                y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
-                d *= 2
-            return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
-        scan_ref[:] = roll_k(steps, 1)
-        scan_ref[:, k0 : k0 + 1, :] = seed
-        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
-        return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
-
-    def theta(t_in, u, v_c_, v_p, ww_new):
-        t_half = t_in + tcon
-        wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
-        vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
-        fy = v_p * (t1_jp + t1c) - v_c_ * (t1c + t1_jm)
-        fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
-        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
-        return jnp.where(kmask_upd & mask_c,
-                         t_half - (dts * msfty) * (horiz + vert), t_in)
+    ww_scan, theta = _phase_helpers(
+        scan_ref=scan_ref, roll_i=roll_i, roll_k=roll_k,
+        kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c, tcon=tcon,
+        interp=interp, rdnw3=rdnw3, t1c=t1c, t1_jp=t1_jp, t1_jm=t1_jm,
+        t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty, rdx=rdx,
+        rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0, k1=k1)
 
     if fuse_w:
-        epssm = scal_ref[0, 4]
-        c_w = scal_ref[0, 5]
-        g_t = scal_ref[0, 6]
-        beta = F(0.5) * (F(1.0) + epssm)
-        alfa = F(1.0) - beta
-        crdn = crdn_ref[:].reshape(1, K, 1)
-        erdn = erdn_ref[:].reshape(1, K, 1)
-
-        def w_fwd(k, _):
-            ak = aw_ref[0, k]
-            denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
-            cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
-            dpw_ref[:, pl.ds(k, 1), :] = (
-                scan_ref[:, pl.ds(k, 1), :]
-                + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
-            ) / denom
-            return 0
-
-        def w_bwd(m, _):
-            k = k1 - 1 - m
-            dpw_ref[:, pl.ds(k, 1), :] = (
-                dpw_ref[:, pl.ds(k, 1), :]
-                - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
-            )
-            return 0
-
-        def w_step(wf, ppf, t_full):
-            w_act = jnp.where(kmask_w, wf, F(0.0))
-            dvz = jnp.where(kmask_upd,
-                            rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
-            scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
-                           + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
-            zrow = jnp.zeros_like(wf[:, :1, :])
-            cpw_ref[:, k0 : k0 + 1, :] = zrow
-            dpw_ref[:, k0 : k0 + 1, :] = zrow
-            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
-            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
-            w_sol = dpw_ref[:]
-            w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
-            wn_act = jnp.where(kmask_w, w_sol, F(0.0))
-            dvz_new = jnp.where(kmask_upd,
-                                rdnw3 * (roll_k(wn_act, -1) - wn_act),
-                                F(0.0))
-            pp_new = jnp.where(kmask_upd & mask_c,
-                               ppf - c_w * (beta * dvz_new + alfa * dvz),
-                               ppf)
-            return w_new, pp_new
-
+        w_step = _w_solver(
+            scan_ref=scan_ref, cpw_ref=cpw_ref, dpw_ref=dpw_ref,
+            aw_ref=aw_ref, bw_ref=bw_ref, dgw_ref=dgw_ref,
+            crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
+            kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
+            rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
+            c_w=scal_ref[0, 5], g_t=scal_ref[0, 6])
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
@@ -1234,24 +1206,9 @@ def coupled_multistep_pallas(
             raise ValueError("fuse_w requires w, pp and rdn")
         w3a = jnp.asarray(w, F)
         pp3a = jnp.asarray(pp, F)
-        dts_f = jnp.asarray(dts, F)
-        epssm_f = jnp.asarray(epssm, F)
-        c_w = jnp.asarray(cw, F) * dts_f
-        g_t = dts_f * jnp.asarray(gw, F)
-        beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
-        alfa_h = jnp.float32(1.0) - beta_h
-        cb = c_w * beta_h
-        rdn_a = jnp.asarray(rdn, F)
-        rdnw_a = jnp.asarray(rdnw, F)
-        kv = jnp.arange(K)
-        kintv = (kv > k0) & (kv <= k1)
-        a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
-                          jnp.float32(0.0))
-        b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a,
-                          jnp.float32(0.0))
-        diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
-        crdn_vec = c_w * rdn_a
-        erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+        (c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec,
+         erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
+                                    K, k0, k1)
     else:
         c_w = g_t = 0.0
 

@@ -76,6 +76,8 @@ tolerances every device tier is held to.  The k scan runs k-ascending
 from __future__ import annotations
 
 import functools
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +85,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F = jnp.float32
+
+_ABLATE_WARNED = False
+
+
+def ablate_from_env() -> str:
+    """The ``WRF_TPU_ABLATE`` perf-debug knob skips kernel phases; outputs
+    stay finite but are PHYSICALLY WRONG.  Read it only through this
+    helper, which announces an active setting once on stderr — a leftover
+    shell export would otherwise silently corrupt production runs (the
+    bench's is-finite checksum cannot catch it)."""
+    global _ABLATE_WARNED
+    a = os.environ.get("WRF_TPU_ABLATE", "")
+    if a and not _ABLATE_WARNED:
+        print(f"wrf_tpu: WRF_TPU_ABLATE={a!r} ACTIVE — kernel phases are "
+              "being skipped; outputs are NOT physical", file=sys.stderr)
+        _ABLATE_WARNED = True
+    return a
 
 
 def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
@@ -486,7 +505,6 @@ def _compiler_params(vmem_limit: int | None):
     default path never sets a limit, and the raised limit is applied only
     inside the measured-safe region (``sharded_tile_params``), re-mappable
     after a stack change by rerunning the probe."""
-    import os
     limit = int(os.environ.get("WRF_TPU_VMEM_LIMIT", vmem_limit or 0))
     if limit <= 0:
         return None
@@ -870,13 +888,12 @@ def advance_mu_t_pallas(
         aliases[2 + n3] = oidx["w"]
         aliases[2 + n3 + 1] = oidx["pp"]
 
-    import os
     kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
                                fuse_uv=fuse_uv, with_tave=with_tave,
                                fuse_w=fuse_w, use_damp=use_damp,
                                has_wscale=has_wscale, ww_mode=ww_mode,
                                lean=lean, capture=capture,
-                               ablate=os.environ.get("WRF_TPU_ABLATE", ""))
+                               ablate=ablate_from_env())
     outs = pl.pallas_call(
         kernel,
         grid=(grid_n,),

@@ -79,45 +79,21 @@ def refresh_axis(xp: jax.Array, axis: int, axis_name: str,
 
 
 # ------------------------------------------------------------------ #
-# Width-2 (ring-2) halos — the temporally-blocked coupled pairs need
-# mu two cells deep (models/small_step.py): a pair of substeps advances
-# information two cells, so the exchange runs HALF as often at TWICE the
-# width — same bytes as the per-substep width-1 exchange, half the
-# collective launches.
+# Ring-S halos — the depth-S temporally-blocked coupled trapezoid needs
+# mu S cells deep (models/small_step.py): S substeps advance information
+# S cells, so the exchange runs 1/S as often at S times the width.
 # ------------------------------------------------------------------ #
-def widen_ring(xp: jax.Array, axis: int, axis_name: str | None,
-               n_interior: int) -> jax.Array:
-    """Grow an ALREADY ring-1-padded block to ring-2 along ``axis``.
-
-    Ring-2 layout (the blocked wrapper's contract): ``[lo2, lo1,
-    interior(n), hi1, hi2, <alignment padding>]`` — both high halo cells
-    sit ADJACENT to the interior, before any alignment padding, so the
-    stencil adjacency ``owned_last+1 = hi1``, ``hi1+1 = hi2`` holds for
-    interior shards.  The outer cells hold the neighbors' second-from-
-    edge interior cells when ``axis_name`` is given (sharded axis),
-    zeros otherwise (out-of-window, mask-protected)."""
-    return widen_ring_to(xp, axis, axis_name, n_interior, width=2)
-
-
-def refresh_axis2(xp: jax.Array, axis: int, axis_name: str,
-                  n_interior: int) -> jax.Array:
-    """Refresh ALL FOUR halo cells of a ring-2 block along ``axis`` from
-    the neighbors' two edge interior cells (owned cells sit at
-    ``[2, 2+n)``; halos at ``[0, 2)`` and ``[2+n, 4+n)`` — see
-    ``widen_ring`` for the layout)."""
-    return refresh_axis_w(xp, axis, axis_name, n_interior, width=2)
-
-
 def widen_ring_to(xp: jax.Array, axis: int, axis_name: str | None,
                   n_interior: int, width: int) -> jax.Array:
     """Grow an ALREADY ring-1-padded block to ring-``width`` along
-    ``axis`` in one exchange (generalizes :func:`widen_ring`, which is
-    the ``width=2`` case).  Layout: ``[lo_w..lo1, interior(n), hi1..hi_w,
-    <alignment padding>]`` — every ring cell adjacent to the interior,
-    before any padding.  Sharded axes (``axis_name`` given) pull the
-    ``width-1`` extra cells per side from the neighbors' interiors, which
-    therefore must span at least ``width`` cells; unsharded axes zero-pad
-    (out-of-window, mask-protected)."""
+    ``axis`` in one exchange.  Layout: ``[lo_w..lo1, interior(n),
+    hi1..hi_w, <alignment padding>]`` — every ring cell adjacent to the
+    interior, before any padding, so the stencil adjacency
+    ``owned_last+1 = hi1``, ``hi1+1 = hi2`` … holds for interior shards.
+    Sharded axes (``axis_name`` given) pull the ``width-1`` extra cells
+    per side from the neighbors' interiors, which therefore must span at
+    least ``width`` cells; unsharded axes zero-pad (out-of-window,
+    mask-protected)."""
     n, R = n_interior, width
     if R < 2:
         return xp

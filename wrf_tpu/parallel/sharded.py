@@ -124,6 +124,10 @@ class ShardedAdvanceMuT:
             raise ValueError("const_dtype requires the pallas kernel")
         if inner_steps < 1:
             raise ValueError("inner_steps must be >= 1")
+        if fast and inner_steps == 1:
+            raise ValueError("fast re-associates the BLOCKED pass: it "
+                             "requires inner_steps > 1 (alone it would "
+                             "silently no-op)")
         if inner_steps > 1 and kernel != "pallas":
             raise ValueError("inner_steps requires the pallas kernel")
         self.mesh = mesh
