@@ -235,3 +235,38 @@ def test_remote_dma_multi_field_exchange(small_case):
 
     for got, want in zip(run("rdma"), run("ppermute")):
         np.testing.assert_array_equal(got, want)
+
+
+def test_trapezoid_collective_schedule(small_case):
+    """The depth-S trapezoid's compiled collective schedule: the scan
+    body must contain exactly 3 width-S exchanges x 2 axes x 2 permutes
+    (mu/u/v on a 2-D mesh; each width-S axis refresh lowers to 2
+    collective-permutes) = 12 per BLOCK — i.e. ~2/S launches per substep
+    vs the single-step scan's 6 (SCALING.md; tools/scaling_report.py
+    measures the same on arbitrary shapes)."""
+    import re
+
+    from wrf_tpu.models.small_step import SmallStepLoop
+
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    b = small_case.bounds
+    nx, ny, nz = b.ide, b.jde, b.kdim
+    S = 4
+    loop = SmallStepLoop(mesh, nx, ny, nz, small_case.flags,
+                         n_steps=4 * S + 1, inner_steps=S)
+    arrays = loop.prepare(case_to_domain(small_case))
+    import jax.numpy as jnp
+
+    scalars = {n: jnp.float32(getattr(small_case, n))
+               for n in ("rdx", "rdy", "dts", "epssm")}
+    hlo = loop._run.lower(arrays, scalars).compile().as_text()
+    in_body, body = 0, False
+    for line in hlo.splitlines():
+        if "while_body" in line or re.match(r"\s*%?wide.*region.*\{", line):
+            body = True
+        if line.startswith("}"):
+            body = False
+        if "collective-permute" in line and "(" in line and (
+                body or "while" in line):
+            in_body += 1
+    assert in_body == 12, f"expected 12 in-scan permutes/block, got {in_body}"
