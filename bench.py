@@ -35,6 +35,14 @@ final substep's extra streams — ~100 ms at CONUS size, +15% apparent),
 not the per-substep cost the other configs report.  So CONUS uses the
 same two-build marginal with smaller step counts (20, 80); its second
 build mostly reuses the first's Mosaic kernel compile.
+
+Repeats are best-of-12 per step count: a 2-build x 12-repeat isolation
+probe (2026-08-18) showed builds are deterministic (best-of floors
+within 1 ms across rebuilds) while single runs spread ~40-70% above
+the floor, so best-of-4 could understate a fast config's marginal by
+~25% when the two counts' draws were asymmetric (the S=32 headline
+printed 0.0169 under best-of-4 vs a stable 0.0235 floor difference
+under best-of-12).
 """
 
 from __future__ import annotations
@@ -118,7 +126,7 @@ def _build(mesh, case, nx, ny, nz, steps, coupled, with_w, bf16=False,
                      (case.rdx, case.rdy, case.dts, case.epssm))
 
 
-def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=4,
+def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=12,
                    coupled=False, with_w=False, bf16=False, inner_steps=1,
                    fast=False, tj=None, min_passes=8):
     """per-step seconds by the two-step-count difference method."""
