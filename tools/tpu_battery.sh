@@ -15,7 +15,10 @@ print(float(jnp.ones((8,128)).sum()))" 2>/dev/null | tail -1)
 
 health || exit 1
 echo "=== bench.py ==="
-timeout 580 python bench.py 2>&1 | tail -1
+# the 9-row matrix takes ~50 min (two CONUS compile pairs); the budget
+# env makes bench stop STARTING rows near the wall and SIGTERM makes it
+# emit whatever records it has
+WRF_TPU_BENCH_BUDGET_S=3100 timeout 3500 python bench.py 2>&1 | tail -1
 
 health || exit 1
 echo "=== coupled 512 ==="
