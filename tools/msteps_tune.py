@@ -62,6 +62,9 @@ def main():
     #     tj+2S rows overflow) | bf16 S=4 0.5733, S=8 0.5691 (bf16
     #     stops paying once overlap/compute dominates)
     #   coupled+w: S=4 1.1790 (vs 1.28 at S=2); S=2 fast 1.1857
+    #   S=4 tj ladder (2026-08-18): tj=12 0.5578; tj>=14 ALL
+    #   compile-crash — tj=12 is the S=4 VMEM ceiling, the plateau
+    #   stands at ~0.55-0.59
     #   coupled fast S=2 0.8040 / bf16 0.7279; general-path A/B 0.8652
     #   mu_t S=8 exact control 0.3607 (matches README);
     #     fast S=8 0.0894 (clean — 200%8==0)
