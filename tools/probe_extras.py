@@ -14,6 +14,10 @@ MEASURED (2026-08-18):
     than its published 0.051 ms on 3x GTX-680, on ONE chip.
   ref-grid 74x61x32 coupled S=4: 0.0071 (20.3 G) — the FULL coupled
     substep beats the reference's mu_t-only figure 7.2x.
+  fast S ladder under best-of-12 long spans: S=24 0.0312 | S=32 0.0253
+    | S=40 0.0191 — per-PASS cost flat at ~0.76-0.81 ms, so
+    per-substep is C/S by construction (closed-form body); the bench
+    fixes S=32 as the representative point rather than chasing S.
 """
 
 import os
