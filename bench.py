@@ -81,7 +81,7 @@ SPECS = [
     ("coupled 512x512x50", 512, 512, 50,
      True, False, False, 4, (50, 250), 12),
     ("coupled+w 512x512x50", 512, 512, 50,
-     True, True, False, 4, (50, 250), None),
+     True, True, False, 4, (50, 250), 8),
     ("coupled CONUS 1500x1500x50",
      1500, 1500, 50, True, False, False, 4, (20, 80), None),
     # opt-in reduced-precision constant streams (state/outputs f32)
