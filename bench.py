@@ -66,9 +66,10 @@ REFERENCE_GPS = 144448 / 51e-6  # 74*61*32 points / 0.051 ms
 # "fast": true in the record).  Counts are pass-aligned at runtime
 # (blocked_counts); the headline's long span buys a ~27 ms signal at
 # its ~0.02 ms/substep rate.  Depths/tj are the chip-sweep winners
-# (tools/msteps_tune.py, 2026-08-17): mu_t fast S=24/32 both ~0.022,
-# exact S=8; coupled S=4 tj=12 0.546-0.560 (S=8 ties within noise but
-# leaves no VMEM margin — tj>8 compile-crashes); coupled+w S=4 1.179.
+# (tools/msteps_tune.py): mu_t fast S=32 (per-pass cost is flat so
+# per-substep is C/S by construction — S=32 is the FIXED representative
+# point, see README); exact S=8; coupled S=4 tj=12 (its VMEM ceiling);
+# coupled+w S=4 tj=8 (1.1444 vs 1.165 default; tj>=10 compile-crash).
 # Module-level so tests can exercise every row's code path at small
 # sizes (tests/test_bench.py).
 SPECS = [

@@ -260,13 +260,17 @@ def test_trapezoid_collective_schedule(small_case):
     scalars = {n: jnp.float32(getattr(small_case, n))
                for n in ("rdx", "rdy", "dts", "epssm")}
     hlo = loop._run.lower(arrays, scalars).compile().as_text()
+    # count only inside computation DEFINITIONS of the scan body (lines
+    # ending in "{"), robust to XLA naming the body wide.*region_N or
+    # %while_body.N; a call-site line mentioning the name must not count
     in_body, body = 0, False
     for line in hlo.splitlines():
-        if "while_body" in line or re.match(r"\s*%?wide.*region.*\{", line):
+        if line.rstrip().endswith("{") and (
+                re.match(r"\s*%?wide.*region", line)
+                or re.match(r"\s*%?while_body", line)):
             body = True
         if line.startswith("}"):
             body = False
-        if "collective-permute" in line and "(" in line and (
-                body or "while" in line):
+        if "collective-permute" in line and "(" in line and body:
             in_body += 1
     assert in_body == 12, f"expected 12 in-scan permutes/block, got {in_body}"

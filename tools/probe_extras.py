@@ -2,22 +2,29 @@
 
 Usage: python tools/probe_extras.py
 
+Protocol note: rows in `exps` run through msteps_tune.marginal
+(best-of-6); the "best-of-12 long-span" figures below were measured by
+separate one-off scripts calling bench.bench_marginal directly — this
+file records ALL one-off probe outcomes for audit, whichever harness
+produced them.
+
 MEASURED (2026-08-18):
-  mu_t bf16 S=32 fast long-span: 0.0192 ms/substep (684 G pts/s)
-  mu_t f32 S=32 fast long-span (control): 0.0230 (569 G) — note the
-    official bench measured 0.0169 the same day: the fast-blocked
-    configs swing ~+-25% run to run even over 1,216-substep spans, so
-    bf16-vs-f32 overlaps within noise at this depth (no bench row).
-  CONUS coupled S=4 bf16: 4.6523 (24.2 G) vs 5.00 f32 — ~7%.
+  mu_t bf16 S=32 fast long-span (best-of-6): 0.0192 ms/substep;
+    f32 control 0.0230 — the fast-blocked configs swing ~+-25% run to
+    run, so bf16-vs-f32 overlaps within noise at this depth (no bench
+    row).
+  CONUS coupled S=4 bf16 (best-of-6): 4.6523 — measured BEFORE the
+    best-of-12 re-run put f32 at 4.55, so bf16 shows NO reproducible
+    win at depth on CONUS either (no bench row, not in README).
   ref-grid 74x61x32 exact S=8: 0.0047 ms/substep (31.0 G) — the
     reference's own benchmark grid, bit-equal blocking: 10.9x faster
     than its published 0.051 ms on 3x GTX-680, on ONE chip.
   ref-grid 74x61x32 coupled S=4: 0.0071 (20.3 G) — the FULL coupled
     substep beats the reference's mu_t-only figure 7.2x.
-  fast S ladder under best-of-12 long spans: S=24 0.0312 | S=32 0.0253
-    | S=40 0.0191 — per-PASS cost flat at ~0.76-0.81 ms, so
-    per-substep is C/S by construction (closed-form body); the bench
-    fixes S=32 as the representative point rather than chasing S.
+  fast S ladder (bench_marginal, best-of-12 long spans): S=24 0.0312 |
+    S=32 0.0253 | S=40 0.0191 — per-PASS cost flat at ~0.76-0.81 ms,
+    so per-substep is C/S by construction (closed-form body); the
+    bench fixes S=32 as the representative point rather than chasing S.
 """
 
 import os
@@ -58,8 +65,12 @@ def main():
         ("ref-grid 74x61x32 coupled S=4", 74, 61, 32, 4, False, True,
          False, 200, 1000),
     ]
+    cases = {}
     for label, nx, ny, nz, s, bf16, coupled, fast, n1, n2 in exps:
-        case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+        if (nx, ny, nz) not in cases:
+            cases[nx, ny, nz] = fixtures.make_case(nx, ny, nz, halo=3,
+                                                   seed=42)
+        case = cases[nx, ny, nz]
         pts = nx * ny * nz
         try:
             per = marginal(mesh, case, nx, ny, nz, s, bf16,

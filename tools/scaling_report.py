@@ -42,10 +42,17 @@ def analyze(case, mesh_shape, steps, with_w=False, inner_steps=1):
     hlo = loop._run.lower(arrays, scalars).compile().as_text()
 
     # collective-permutes inside vs outside the while (scan) body
+    # body detection keys on COMPUTATION DEFINITION lines (ending in
+    # "{"), never on call sites mentioning the body's name — XLA names
+    # the scan body "wide.*region_N" today, "%while_body.N" under other
+    # naming schemes, and an ENTRY line "while(..., body=%while_body)"
+    # must not flip the flag
     in_loop, setup, bytes_in_loop = 0, 0, 0
     in_body = False
     for line in hlo.splitlines():
-        if re.match(r"\s*%?wide.*region.*\{", line) or "while_body" in line:
+        if line.rstrip().endswith("{") and (
+                re.match(r"\s*%?wide.*region", line)
+                or re.match(r"\s*%?while_body", line)):
             in_body = True
         if line.startswith("}"):
             in_body = False
@@ -57,7 +64,7 @@ def analyze(case, mesh_shape, steps, with_w=False, inner_steps=1):
         if shape and shape.group(1):
             for d in shape.group(1).split(","):
                 nel *= int(d)
-        if in_body or "while" in line:
+        if in_body:
             in_loop += 1
             bytes_in_loop += 4 * nel
         else:
@@ -81,9 +88,10 @@ def main():
     print("(volumes are per shard per substep and independent of mesh size —"
           " the flat-extrapolation premise of SCALING.md)")
 
-    # the depth-S trapezoid's 1/S launch schedule: the scan body is now
-    # per BLOCK, so collectives-per-substep must fall as 1/S (same
-    # bytes — each exchange is width S instead of width 1)
+    # the depth-S trapezoid's launch schedule: the scan body is per
+    # BLOCK, so collectives-per-substep fall ~2/S (each width-S axis
+    # refresh lowers to 2 permutes) at a volume premium — u joins the
+    # block exchange and every direction ships S rows (SCALING.md)
     S = 4
     print(f"depth-{S} trapezoid (inner_steps={S}):")
     for shape in ((2, 2), (4, 2)):

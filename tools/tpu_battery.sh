@@ -18,7 +18,8 @@ echo "=== bench.py ==="
 # the 9-row matrix takes ~50 min (two CONUS compile pairs); the budget
 # env makes bench stop STARTING rows near the wall and SIGTERM makes it
 # emit whatever records it has
-WRF_TPU_BENCH_BUDGET_S=3100 timeout 3500 python bench.py 2>&1 | tail -1
+WRF_TPU_BENCH_BUDGET_S=3100 timeout --preserve-status 3500 \
+  python bench.py 2>&1 | tail -1
 
 health || exit 1
 echo "=== coupled 512 ==="
