@@ -274,3 +274,21 @@ def test_trapezoid_collective_schedule(small_case):
         if "collective-permute" in line and "(" in line and body:
             in_body += 1
     assert in_body == 12, f"expected 12 in-scan permutes/block, got {in_body}"
+
+
+def test_multihost_two_process():
+    """TRUE multi-process run of the multi-host bring-up recipe: two OS
+    processes (Gloo CPU collectives, 4 devices each) must reproduce the
+    single-process (2,4)-mesh result BIT-exactly for both production
+    loops (tools/multihost_check.py does the orchestration)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parents[1] / "tools" / "multihost_check.py"
+    r = subprocess.run([_sys.executable, str(tool)], capture_output=True,
+                       text=True, timeout=1100,
+                       env={k: v for k, v in __import__("os").environ.items()
+                            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+    assert r.returncode == 0 and "MULTIHOST OK" in r.stdout, (
+        r.stdout[-2000:] + r.stderr[-2000:])

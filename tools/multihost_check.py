@@ -1,0 +1,157 @@
+"""TRUE multi-process validation of the multi-host bring-up helpers.
+
+SCALING.md's recipe (`parallel/distributed.py`) was previously testable
+only in its single-process degenerate form; this tool runs it for real:
+TWO OS processes, each owning 4 virtual CPU devices, joined through
+`jax.distributed.initialize` (XLA's Gloo CPU collectives), building the
+global (2, 4) mesh and assembling per-process j-slabs with
+`host_local_arrays`.  The mu_t scan loop (xla kernel, 4 substeps with
+in-scan ppermute halo refresh) and the coupled small-step loop (pallas
+interpret, 3 substeps) then run UNCHANGED across the process boundary.
+
+Acceptance is BIT-equality against the identical program run
+single-process on the same (2, 4) mesh over the same 8 devices — only
+process placement differs, so any divergence is a distributed-runtime
+bug, not tolerance noise.
+
+Usage: python tools/multihost_check.py          # orchestrates everything
+       (internal: ... ref OUT.npz | worker PID OUT.npz)
+
+MEASURED 2026-08-18: both loops bit-equal across 2 processes (see
+commit); the same-box Gloo transport stands in for DCN — what it
+validates is the recipe and the SPMD program, not wire performance.
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+COORD = "localhost:9917"
+NPROC = 2
+DEV_PER_PROC = 4
+
+
+def _setup_jax():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def _compute(jax, mesh, *, multihost: bool):
+    """Both loops on ``mesh``; returns {name: np.ndarray} (globally
+    gathered when ``multihost``)."""
+    import numpy as np
+
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.models.small_step import SmallStepLoop
+    from wrf_tpu.parallel import distributed
+    from wrf_tpu.parallel.sharded import (
+        ShardedAdvanceMuT, case_to_domain, pad_to_mesh,
+    )
+
+    results = {}
+    for tag, coupled, dims, steps in (("mu_t", False, (40, 36, 12), 4),
+                                      ("coupled", True, (24, 20, 8), 3)):
+        nx, ny, nz = dims
+        case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+        if coupled:
+            loop = SmallStepLoop(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps)
+        else:
+            loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
+                                     n_steps=steps, kernel="xla",
+                                     vary_winds=True)
+        dom = case_to_domain(case)
+        if multihost:
+            pid, nj = jax.process_index(), mesh.shape["j"]
+            rows_per_proc = None
+            slabs = {}
+            for name, arr in dom.items():
+                padded = np.asarray(pad_to_mesh(arr, mesh))
+                sh = loop.shardings[name]
+                if not sh.spec:        # replicated: full vector everywhere
+                    slabs[name] = padded
+                    continue
+                assert padded.shape[0] % NPROC == 0, name
+                rows = padded.shape[0] // NPROC
+                slabs[name] = padded[pid * rows : (pid + 1) * rows]
+                rows_per_proc = rows
+            assert rows_per_proc, "no sharded fields?"
+            arrays = distributed.host_local_arrays(mesh, slabs,
+                                                   loop.shardings)
+        else:
+            arrays = loop.prepare(dom)
+        out = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+        for name in ("t", "mu", "ww"):
+            val = out[name]
+            if multihost:
+                from jax.experimental import multihost_utils
+                val = multihost_utils.process_allgather(val, tiled=True)
+            results[f"{tag}/{name}"] = np.asarray(val)
+    return results
+
+
+def _mesh_2x4(jax):
+    from wrf_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(jax.devices()[:8], (2, 4))
+
+
+def main_ref(out_path):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    jax = _setup_jax()
+    import numpy as np
+
+    np.savez(out_path, **_compute(jax, _mesh_2x4(jax), multihost=False))
+    print("ref done", flush=True)
+
+
+def main_worker(pid, out_path):
+    jax = _setup_jax()
+    jax.distributed.initialize(coordinator_address=COORD,
+                               num_processes=NPROC, process_id=pid)
+    assert len(jax.devices()) == NPROC * DEV_PER_PROC
+    import numpy as np
+
+    res = _compute(jax, _mesh_2x4(jax), multihost=True)
+    if pid == 0:
+        np.savez(out_path, **res)
+    print(f"worker {pid} done", flush=True)
+
+
+def main():
+    import numpy as np
+
+    here = os.path.abspath(__file__)
+    tmp = "/tmp/wrf_tpu_multihost"
+    os.makedirs(tmp, exist_ok=True)
+    ref_npz, mh_npz = f"{tmp}/ref.npz", f"{tmp}/mh.npz"
+    subprocess.run([sys.executable, here, "ref", ref_npz], check=True)
+    procs = [subprocess.Popen([sys.executable, here, "worker", str(i),
+                               mh_npz]) for i in range(NPROC)]
+    for p in procs:
+        assert p.wait(timeout=1200) == 0, "worker failed"
+    ref, mh = np.load(ref_npz), np.load(mh_npz)
+    for name in ref.files:
+        np.testing.assert_array_equal(mh[name], ref[name], err_msg=name)
+        print(f"OK   {name}: 2-process == single-process (bit-equal, "
+              f"{ref[name].shape})", flush=True)
+    print("MULTIHOST OK")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "ref":
+        main_ref(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker":
+        main_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()
