@@ -80,7 +80,7 @@ SPECS = [
     # the reference's own benchmark grid (its README: 0.051 ms on 3x
     # GTX-680) — bit-equal blocking, the head-to-head record
     ("ref-grid 74x61x32 exact S=8", 74, 61, 32,
-     False, False, False, 8, (200, 1000), None),
+     False, False, False, 8, (200, 3400), None),
     ("mu_t 512x512x50 S=1", 512, 512, 50,
      False, False, False, 1, (50, 250), None),
     ("coupled 512x512x50", 512, 512, 50,

@@ -16,11 +16,11 @@ MEASURED (2026-08-18):
   CONUS coupled S=4 bf16 (best-of-6): 4.6523 — measured BEFORE the
     best-of-12 re-run put f32 at 4.55, so bf16 shows NO reproducible
     win at depth on CONUS either (no bench row, not in README).
-  ref-grid 74x61x32 exact S=8: 0.0047 ms/substep (31.0 G) — the
-    reference's own benchmark grid, bit-equal blocking: 10.9x faster
-    than its published 0.051 ms on 3x GTX-680, on ONE chip.
-  ref-grid 74x61x32 coupled S=4: 0.0071 (20.3 G) — the FULL coupled
-    substep beats the reference's mu_t-only figure 7.2x.
+  ref-grid 74x61x32 (best-of-6, 800-substep span): exact S=8 0.0047,
+    coupled S=4 0.0071 — favorable draws: wide-span best-of-12
+    re-measurement (3,200-substep span) gives S=1 0.0141 / exact S=8
+    0.0091 / coupled S=4 0.0076 (launch-bound at this size), the
+    README's official head-to-head numbers.
   fast S ladder (bench_marginal, best-of-12 long spans): S=24 0.0312 |
     S=32 0.0253 | S=40 0.0191 — per-PASS cost flat at ~0.76-0.81 ms,
     so per-substep is C/S by construction (closed-form body); the
