@@ -6,8 +6,10 @@ TWO OS processes, each owning 4 virtual CPU devices, joined through
 `jax.distributed.initialize` (XLA's Gloo CPU collectives), building the
 global (2, 4) mesh and assembling per-process j-slabs with
 `host_local_arrays`.  The mu_t scan loop (xla kernel, 4 substeps with
-in-scan ppermute halo refresh) and the coupled small-step loop (pallas
-interpret, 3 substeps) then run UNCHANGED across the process boundary.
+in-scan ppermute halo refresh), the coupled small-step loop (pallas
+interpret, 3 substeps) and one closed-loop RK3 large step (base-state
+snapshot + nudging tendencies) then run UNCHANGED across the process
+boundary.
 
 Acceptance is BIT-equality against the identical program run
 single-process on the same (2, 4) mesh over the same 8 devices — only
@@ -58,6 +60,35 @@ def _compute(jax, mesh, *, multihost: bool):
         ShardedAdvanceMuT, case_to_domain, pad_to_mesh,
     )
 
+    def assemble(loop, dom):
+        """Per-process j-slabs -> global arrays (the multi-host path),
+        or the single-process prepare()."""
+        if not multihost:
+            return loop.prepare(dom)
+        pid = jax.process_index()
+        slabs = {}
+        rows_per_proc = None
+        for name, arr in dom.items():
+            padded = np.asarray(pad_to_mesh(arr, mesh))
+            sh = loop.shardings[name]
+            if not sh.spec:            # replicated: full vector everywhere
+                slabs[name] = padded
+                continue
+            assert padded.shape[0] % NPROC == 0, name
+            rows = padded.shape[0] // NPROC
+            slabs[name] = padded[pid * rows : (pid + 1) * rows]
+            rows_per_proc = rows
+        assert rows_per_proc, "no sharded fields?"
+        return distributed.host_local_arrays(mesh, slabs, loop.shardings)
+
+    def record(tag, out, names=("t", "mu", "ww")):
+        for name in names:
+            val = out[name]
+            if multihost:
+                from jax.experimental import multihost_utils
+                val = multihost_utils.process_allgather(val, tiled=True)
+            results[f"{tag}/{name}"] = np.asarray(val)
+
     results = {}
     for tag, coupled, dims, steps in (("mu_t", False, (40, 36, 12), 4),
                                       ("coupled", True, (24, 20, 8), 3)):
@@ -70,33 +101,25 @@ def _compute(jax, mesh, *, multihost: bool):
             loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
                                      n_steps=steps, kernel="xla",
                                      vary_winds=True)
-        dom = case_to_domain(case)
-        if multihost:
-            pid, nj = jax.process_index(), mesh.shape["j"]
-            rows_per_proc = None
-            slabs = {}
-            for name, arr in dom.items():
-                padded = np.asarray(pad_to_mesh(arr, mesh))
-                sh = loop.shardings[name]
-                if not sh.spec:        # replicated: full vector everywhere
-                    slabs[name] = padded
-                    continue
-                assert padded.shape[0] % NPROC == 0, name
-                rows = padded.shape[0] // NPROC
-                slabs[name] = padded[pid * rows : (pid + 1) * rows]
-                rows_per_proc = rows
-            assert rows_per_proc, "no sharded fields?"
-            arrays = distributed.host_local_arrays(mesh, slabs,
-                                                   loop.shardings)
-        else:
-            arrays = loop.prepare(dom)
-        out = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
-        for name in ("t", "mu", "ww"):
-            val = out[name]
-            if multihost:
-                from jax.experimental import multihost_utils
-                val = multihost_utils.process_allgather(val, tiled=True)
-            results[f"{tag}/{name}"] = np.asarray(val)
+        out = loop(assemble(loop, case_to_domain(case)),
+                   case.rdx, case.rdy, case.dts, case.epssm)
+        record(tag, out)
+
+    # the production shell unchanged: one closed-loop RK3 large step
+    # (base-state snapshot + nudging tendencies) across the processes
+    from wrf_tpu.models.rk3 import RK3Integrator
+    from wrf_tpu.models.tendencies import NudgingTendencies
+
+    case = fixtures.make_case(24, 20, 8, halo=3, seed=9, amplitude=1e-2,
+                              balanced=True)
+    rk3 = RK3Integrator(mesh, 24, 20, 8, case.flags, acoustic_steps=2,
+                        snapshot="base")
+    arrays = assemble(rk3.loops[0], case_to_domain(case))
+    dt = case.dts * 2
+    out = rk3.step(arrays, case.rdx, case.rdy, dt, case.epssm,
+                   tendency_fn=NudgingTendencies(arrays, dt,
+                                                 tau_steps=5.0))
+    record("rk3", out, names=("t", "mu"))
     return results
 
 
