@@ -88,7 +88,7 @@ SPECS = [
     ("coupled+w 512x512x50", 512, 512, 50,
      True, True, False, 4, (50, 250), 8),
     ("coupled CONUS 1500x1500x50",
-     1500, 1500, 50, True, False, False, 4, (20, 80), None),
+     1500, 1500, 50, True, False, False, 4, (20, 80), 4),
     # opt-in reduced-precision constant streams (state/outputs f32)
     ("mu_t 512x512x50 bf16-const",
      512, 512, 50, False, False, True, 8, (50, 250), None),

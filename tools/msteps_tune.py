@@ -62,6 +62,8 @@ def main():
     #     tj+2S rows overflow) | bf16 S=4 0.5733, S=8 0.5691 (bf16
     #     stops paying once overlap/compute dominates)
     #   coupled+w: S=4 1.1790 (vs 1.28 at S=2); S=2 fast 1.1857
+    #   CONUS S=4 tj ladder (1500-wide): default pick tj=2 4.93,
+    #   tj=4 4.0972 (the bench row), tj>=6 compile-crash
     #   coupled+w S=4 tj ladder: default 1.1650, tj=8 1.1444 (the
     #   bench row), tj>=10 compile-crash
     #   S=4 tj ladder (2026-08-18): tj=12 0.5578; tj>=14 ALL
