@@ -102,3 +102,84 @@ def test_dynamics_params_drive_the_loop():
     case = fixtures.make_case(12, 10, 6, halo=2, seed=3, flags=p["flags"])
     out = small_step_golden(case, 2, smdiv=p["smdiv"])
     assert np.isfinite(out["mu"]).all()
+
+
+# ---------------------------------------------------------------------- #
+# Fortran namelist.input text front end
+# ---------------------------------------------------------------------- #
+WRF_NAMELIST = """
+&time_control
+ run_days   = 0,           ! comment after a value
+ run_hours  = 6,
+ auxinput4_inname = "wrflowinp_d<domain>",
+/
+&domains
+ time_step       = 72,
+ max_dom         = 2,
+ e_we            = 150, 121,
+ dx              = 12000.0, 4000.0,
+ dy              = 12000.,  4000.,
+/
+&dynamics
+ rk_ord      = 3,
+ epssm       = 1.d-1, 0.1,
+ smdiv       = 0.1, 2*0.1,
+ time_step_sound = 6, 6,
+ non_hydrostatic = .true., .true.,
+/
+&bdy_control
+ specified  = .true.
+ periodic_x = F,
+ nested     = .false., .true.,
+/
+"""
+
+
+def test_parse_namelist_text():
+    from wrf_tpu.config import parse_namelist_text
+    g = parse_namelist_text(WRF_NAMELIST)
+    assert g["time_control"]["run_days"] == [0]
+    assert g["time_control"]["auxinput4_inname"] == ["wrflowinp_d<domain>"]
+    assert g["domains"]["e_we"] == [150, 121]
+    assert g["domains"]["dx"] == [12000.0, 4000.0]
+    assert g["dynamics"]["epssm"] == [0.1, 0.1]          # d-exponent
+    assert g["dynamics"]["smdiv"] == [0.1, 0.1, 0.1]     # 2*0.1 repetition
+    assert g["bdy_control"]["specified"] == [True]       # no trailing comma
+    assert g["bdy_control"]["periodic_x"] == [False]     # bare F
+    assert g["bdy_control"]["nested"] == [False, True]
+
+
+def test_parse_namelist_single_line_and_comments():
+    from wrf_tpu.config import parse_namelist_text
+    g = parse_namelist_text("&dynamics epssm=0.2, smdiv='a!b' / ! trailing")
+    assert g["dynamics"]["epssm"] == [0.2]
+    assert g["dynamics"]["smdiv"] == ["a!b"]  # ! inside quotes kept
+
+
+def test_read_namelist_record_and_dynamics(tmp_path):
+    """A WRF namelist.input file drives the loop config end-to-end."""
+    from wrf_tpu.config import dynamics_params, read_namelist
+    path = tmp_path / "namelist.input"
+    path.write_text(WRF_NAMELIST)
+    rec = read_namelist(path)
+    assert rec.time_step == 72 and rec.time_step_sound == 6
+    assert rec.dx == 12000.0 and rec.epssm == pytest.approx(0.1)
+    assert rec.specified is True and rec.periodic_x is False
+    assert rec.nested is False        # domain column 0
+    p = dynamics_params(rec)
+    assert p["dts"] == pytest.approx(12.0)
+    assert p["flags"].specified and not p["flags"].nested
+
+    # per-domain column selection (column past list end clamps to last)
+    rec2 = read_namelist(path, domain=1)
+    assert rec2.dx == 4000.0 and rec2.nested is True
+    assert rec2.time_step == 72       # 1-column list clamps
+
+
+def test_read_namelist_unknown_fields():
+    from wrf_tpu.config import read_namelist
+    text = "&domains not_a_wrf_field = 1, dx = 100.0 /"
+    rec = read_namelist(text)         # lenient by default
+    assert rec.dx == 100.0
+    with pytest.raises(AttributeError, match="not_a_wrf_field"):
+        read_namelist(text, strict=True)

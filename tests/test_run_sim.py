@@ -51,6 +51,31 @@ def test_run_sim_namelist(tmp_path, small_case, capsys):
     assert rc == 0
 
 
+def test_run_sim_namelist_input_text(tmp_path, small_case, capsys):
+    """A WRF Fortran namelist.input text file is accepted directly
+    (auto-detected vs the JSON form)."""
+    d = _fixture(tmp_path, small_case)
+    nml = tmp_path / "namelist.input"
+    nml.write_text("""
+&domains
+ time_step       = 12,
+ dx              = 12000.0, 4000.0,
+ dy              = 12000.0, 4000.0,
+/
+&dynamics
+ epssm           = 1.d-1,
+ smdiv           = 0.1,
+ time_step_sound = 6,
+/
+&bdy_control
+ specified = .true.
+/
+""")
+    rc = run_sim.main([d, "--namelist", str(nml), "--steps", "1",
+                       "--kernel", "xla"])
+    assert rc == 0
+
+
 def test_run_sim_checkpoint_resume(tmp_path, small_case, capsys):
     """2 steps + resume 1 == 3 straight steps, bit-for-bit (the snapshot
     format is the full carried state)."""

@@ -21,6 +21,7 @@ Projection direction: record -> 26-int struct -> 3-flag kernel view.
 from __future__ import annotations
 
 import json
+import re
 import struct
 from pathlib import Path
 
@@ -138,6 +139,179 @@ class GridConfigRecord:
     @classmethod
     def load(cls, path) -> "GridConfigRecord":
         return cls.from_blob(Path(path).read_bytes())
+
+
+# ---------------------------------------------------------------------- #
+# Fortran namelist text front end
+# ---------------------------------------------------------------------- #
+# The reference consumes its config record as a binary Fortran stream blob
+# (advance_mu_t_driver.f90:70-72), but upstream WRF populates that record
+# from a text ``namelist.input`` file — the file an actual WRF user edits.
+# This parser accepts that format directly so a namelist.input drives the
+# framework without a conversion step.
+
+_NML_GROUP = re.compile(r"&(\w+)", re.ASCII)
+_NML_ASSIGN = re.compile(r"([A-Za-z_]\w*)\s*=", re.ASCII)
+_NML_REPEAT = re.compile(r"^(\d+)\*(.*)$", re.ASCII | re.DOTALL)
+
+
+def _nml_strip_comment(line: str) -> str:
+    """Drop a trailing ``!`` comment, ignoring ``!`` inside quotes."""
+    quote = None
+    for pos, ch in enumerate(line):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "!":
+            return line[:pos]
+    return line
+
+
+def _nml_scalar(tok: str):
+    """Parse one namelist token: logical, int, real (incl. ``1.d-5``),
+    or quoted/bare string."""
+    if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
+        return tok[1:-1]
+    low = tok.lower()
+    if low in (".true.", ".t.", "t", "true"):
+        return True
+    if low in (".false.", ".f.", "f", "false"):
+        return False
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        # Fortran double-precision exponent: 1.5d-3 -> 1.5e-3
+        return float(low.replace("d", "e"))
+    except ValueError:
+        return tok  # bare (unquoted) string
+
+
+def _nml_values(raw: str) -> list:
+    """Split a namelist RHS into parsed values (comma- and/or
+    space-separated; ``n*value`` Fortran repetition expanded)."""
+    toks: list[str] = []
+    quote = None
+    cur = ""
+    for ch in raw:
+        if quote:
+            cur += ch
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            cur += ch
+        elif ch == "," or ch.isspace():
+            if cur:
+                toks.append(cur)
+                cur = ""
+        else:
+            cur += ch
+    if cur:
+        toks.append(cur)
+    out = []
+    for tok in toks:
+        m = _NML_REPEAT.match(tok)
+        if m and m.group(2):
+            out.extend([_nml_scalar(m.group(2))] * int(m.group(1)))
+        else:
+            out.append(_nml_scalar(tok))
+    return out
+
+
+def parse_namelist_text(text: str) -> dict:
+    """Parse Fortran namelist text into ``{group: {name: [values...]}}``.
+
+    Handles ``&group`` … ``/`` blocks, ``!`` comments, quoted strings,
+    logicals (``.true./.false./T/F``), ``d``-exponent reals, ``n*value``
+    repetition, and multi-line / multi-column (per-domain) value lists.
+    Repeated groups merge; repeated names within a group keep the last
+    assignment (Fortran semantics).
+    """
+    groups: dict = {}
+    group = None
+    body: list[str] = []
+
+    def flush():
+        nonlocal body
+        if group is None or not body:
+            body = []
+            return
+        blob = " ".join(body)
+        body = []
+        sites = list(_NML_ASSIGN.finditer(blob))
+        g = groups.setdefault(group, {})
+        for n, m in enumerate(sites):
+            end = sites[n + 1].start() if n + 1 < len(sites) else len(blob)
+            g[m.group(1).lower()] = _nml_values(blob[m.end():end])
+
+    for line in text.splitlines():
+        line = _nml_strip_comment(line).strip()
+        if not line:
+            continue
+        while line:
+            if group is None:
+                m = _NML_GROUP.search(line)
+                if not m:
+                    break  # stray text outside any group
+                group = m.group(1).lower()
+                line = line[m.end():]
+            else:
+                # a group ends at an unquoted "/"
+                quote = None
+                cut = None
+                for pos, ch in enumerate(line):
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch in "'\"":
+                        quote = ch
+                    elif ch == "/":
+                        cut = pos
+                        break
+                if cut is None:
+                    body.append(line)
+                    line = ""
+                else:
+                    body.append(line[:cut])
+                    flush()
+                    group = None
+                    line = line[cut + 1:]
+    flush()  # unterminated trailing group: accept what was read
+    return groups
+
+
+def read_namelist(source, strict: bool = False,
+                  domain: int = 0) -> "GridConfigRecord":
+    """Build a :class:`GridConfigRecord` from WRF ``namelist.input`` text.
+
+    ``source`` is a path or raw namelist text (anything containing a
+    newline or ``&`` is treated as text).  Entry names are matched against
+    the record schema across ALL groups; per-domain value columns collapse
+    to column ``domain`` (clamped to the list length — WRF reuses the last
+    column for higher domains).  Unknown entry names are skipped unless
+    ``strict`` (upstream WRF namelists carry registry entries beyond the
+    reference's record, module_configure.f90:3-1800).
+    """
+    src = str(source)
+    text = src if ("\n" in src or "&" in src) else Path(src).read_text()
+    rec = GridConfigRecord()
+    unknown = []
+    for entries in parse_namelist_text(text).values():
+        for name, values in entries.items():
+            if name not in GridConfigRecord._types:
+                unknown.append(name)
+                continue
+            if not values:
+                continue
+            setattr(rec, name, values[min(domain, len(values) - 1)])
+    if strict and unknown:
+        raise AttributeError(
+            f"unknown namelist fields: {sorted(set(unknown))}")
+    return rec
 
 
 def dynamics_params(record: "GridConfigRecord") -> dict:

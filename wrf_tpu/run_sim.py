@@ -45,7 +45,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("fixture_dir")
     p.add_argument("--namelist", default=None,
-                   help="JSON of GridConfigRecord field overrides")
+                   help="GridConfigRecord overrides: a JSON dict, or a "
+                        "WRF Fortran namelist.input text file (&group "
+                        "... / blocks; auto-detected)")
     p.add_argument("--steps", type=int, default=1, help="RK3 large steps")
     p.add_argument("--mesh", default=None, help="JxI mesh shape")
     p.add_argument("--with-w", action="store_true",
@@ -110,7 +112,12 @@ def main(argv=None) -> int:
 
     case, _ = fixtures.read_case(args.fixture_dir)
     if args.namelist:
-        rec = GridConfigRecord(**json.loads(open(args.namelist).read()))
+        text = open(args.namelist).read()
+        if text.lstrip().startswith("{"):
+            rec = GridConfigRecord(**json.loads(text))
+        else:
+            from .config import read_namelist
+            rec = read_namelist(text)
         dyn = dynamics_params(rec)
         flags = dyn["flags"]
     else:
