@@ -183,3 +183,37 @@ def test_read_namelist_unknown_fields():
     assert rec.dx == 100.0
     with pytest.raises(AttributeError, match="not_a_wrf_field"):
         read_namelist(text, strict=True)
+
+
+def test_config_converter_cli(tmp_path):
+    """The config CLI converts namelist.input text into every format the
+    ecosystem uses: JSON overrides, the Fortran stream blob, per-flag
+    binary files."""
+    from wrf_tpu import config as cfg
+    nml = tmp_path / "namelist.input"
+    nml.write_text(WRF_NAMELIST)
+    out_json = tmp_path / "rec.json"
+    out_blob = tmp_path / "rec.bin"
+    flags_dir = tmp_path / "flags"
+    rc = cfg.main([str(nml), "--json", str(out_json),
+                   "--blob", str(out_blob), "--flag-files", str(flags_dir)])
+    assert rc == 0
+
+    import json as _json
+    ov = _json.loads(out_json.read_text())
+    assert ov["time_step"] == 72 and ov["specified"] is True
+    assert "periodic_x" not in ov  # default (False) omitted from overrides
+
+    # the blob round-trips through the Fortran-stream codec
+    rec = cfg.GridConfigRecord.load(out_blob)
+    assert rec.time_step == 72 and rec.dx == 12000.0
+
+    # the flag files load back into the 26-int projection
+    proj = cfg.ConfigFlags26.load_flag_files(flags_dir)
+    assert proj.specified == 1 and proj.periodic_x == 0
+
+    # JSON output feeds back in (load_any auto-detect) losslessly vs the
+    # parsed namelist (the blob rounds reals to f32, so compare origins)
+    assert cfg.load_any(out_json) == cfg.read_namelist(str(nml))
+    # and the blob round-trips as itself
+    assert cfg.load_any(out_blob) == rec

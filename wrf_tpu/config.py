@@ -140,6 +140,12 @@ class GridConfigRecord:
     def load(cls, path) -> "GridConfigRecord":
         return cls.from_blob(Path(path).read_bytes())
 
+    def to_overrides(self) -> dict:
+        """The fields that differ from schema defaults — the compact JSON
+        form ``run_sim --namelist`` accepts."""
+        return {f["name"]: self._values[f["name"]] for f in RECORD_FIELDS
+                if self._values[f["name"]] != _DEFAULTS[f["type"]]}
+
 
 # ---------------------------------------------------------------------- #
 # Fortran namelist text front end
@@ -387,3 +393,67 @@ class ConfigFlags26:
             elif not missing_ok:
                 raise FileNotFoundError(p)
         return cls(**values)
+
+
+# ---------------------------------------------------------------------- #
+# converter CLI: every config format the ecosystem uses, from any input
+# ---------------------------------------------------------------------- #
+def load_any(source, strict: bool = False, domain: int = 0) -> GridConfigRecord:
+    """Load a :class:`GridConfigRecord` from a path of any supported
+    format, auto-detected: ``.json``/``{``-leading text → JSON override
+    dict; text containing ``&group`` → Fortran namelist; otherwise the
+    big-endian Fortran stream blob."""
+    raw = Path(source).read_bytes()
+    try:
+        text = raw.decode("ascii")
+    except UnicodeDecodeError:
+        return GridConfigRecord.from_blob(raw)
+    if text.lstrip().startswith("{"):
+        return GridConfigRecord(**json.loads(text))
+    if _NML_GROUP.search(text):
+        return read_namelist(text, strict=strict, domain=domain)
+    return GridConfigRecord.from_blob(raw)
+
+
+def main(argv=None) -> int:
+    """``python -m wrf_tpu.config IN [--json P] [--blob P] [--flag-files D]``
+
+    Convert between the config formats: WRF ``namelist.input`` text /
+    JSON override dict / Fortran stream blob in; JSON overrides, blob
+    (advance_mu_t_driver.f90:70-72's layout), or per-flag binary files
+    (advance_mu_t_driver.c:135-137's layout) out.  With no output flag,
+    prints the JSON override dict to stdout.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__.splitlines()[0])
+    p.add_argument("input", help="namelist.input text, JSON dict, or blob")
+    p.add_argument("--json", default=None, metavar="PATH")
+    p.add_argument("--blob", default=None, metavar="PATH")
+    p.add_argument("--flag-files", default=None, metavar="DIR",
+                   help="write the 26-int projection as per-flag .bins")
+    p.add_argument("--domain", type=int, default=0,
+                   help="per-domain namelist column to read (0-based)")
+    p.add_argument("--strict", action="store_true",
+                   help="error on namelist entries unknown to the record")
+    args = p.parse_args(argv)
+
+    rec = load_any(args.input, strict=args.strict, domain=args.domain)
+    wrote = False
+    if args.json:
+        Path(args.json).write_text(json.dumps(rec.to_overrides(), indent=1)
+                                   + "\n")
+        wrote = True
+    if args.blob:
+        rec.save(args.blob)
+        wrote = True
+    if args.flag_files:
+        rec.c_projection().save_flag_files(args.flag_files)
+        wrote = True
+    if not wrote:
+        print(json.dumps(rec.to_overrides(), indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
