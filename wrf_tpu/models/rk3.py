@@ -20,18 +20,18 @@ degenerate case; supply a hook to close the loop.
 
 Two snapshot modes govern the ``*_1`` advecting fields:
 
-* ``snapshot="stage"`` (the degenerate shell): ``u_1 := u`` etc. at every
-  stage start.  UNSTABLE over many large steps — the ``*_1`` slots expect
-  UNCOUPLED winds (m/s) but receive the mass-coupled state (~5e4x
-  larger), so the mass flux ``u + muu*u_1/msfuy`` amplifies ~5e4x per
-  step regardless of amplitude.  Kept for bounded-horizon verification of
-  the integration structure (it is what a naive closure would do).
-* ``snapshot="base"`` (the consistent minimal closure): the ``*_1``
-  fields stay at the prepared base state; the acoustic dynamics are then
-  linear with constant coefficients and STABLE.  Combined with the
-  nudging tendency closure (models/tendencies.py) and a balanced fixture
-  this sustains unbounded large-step horizons — measured 100/100 steps
-  with total-mass drift < ~1e-6 (see tendencies.py).
+* ``snapshot="base"`` (the DEFAULT; the consistent minimal closure): the
+  ``*_1`` fields stay at the prepared base state; the acoustic dynamics
+  are then linear with constant coefficients and STABLE.  Combined with
+  the nudging tendency closure (models/tendencies.py) and a balanced
+  fixture this sustains unbounded large-step horizons — measured 100/100
+  steps with total-mass drift < ~1e-6 (see tendencies.py).
+* ``snapshot="stage"`` (opt-in, for bounded-horizon structure tests
+  only): ``u_1 := u`` etc. at every stage start.  UNSTABLE over many
+  large steps — the ``*_1`` slots expect UNCOUPLED winds (m/s) but
+  receive the mass-coupled state (~5e4x larger), so the mass flux
+  ``u + muu*u_1/msfuy`` amplifies ~5e4x per step regardless of
+  amplitude.  It is what a naive closure would do; never the default.
 """
 
 from __future__ import annotations
@@ -65,7 +65,7 @@ class RK3Integrator:
     def __init__(self, mesh, nx, ny, nz, flags: ConfigFlags,
                  acoustic_steps: int = 6, kernel: str = "pallas",
                  cs2: float = DEFAULT_CS2, with_w: bool = False,
-                 smdiv: float = 0.0, snapshot: str = "stage",
+                 smdiv: float = 0.0, snapshot: str = "base",
                  interpret: bool | None = None, const_dtype=None,
                  inner_steps: int = 1, fast: bool = False):
         if snapshot not in ("stage", "base"):
@@ -197,7 +197,7 @@ class RK3Integrator:
 
 def rk3_golden(case, acoustic_steps: int = 6, dt: float | None = None,
                cs2: float = DEFAULT_CS2, with_w: bool = False,
-               smdiv: float = 0.0, snapshot: str = "stage"):
+               smdiv: float = 0.0, snapshot: str = "base"):
     """Golden-path RK3 step on memory-window arrays (single tile)."""
     import dataclasses
     dt = dt if dt is not None else case.dts * acoustic_steps
