@@ -4,16 +4,25 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "grid-points/s", "vs_baseline": N,
    "configs": [{...}, ...]}
 
-The headline record (top-level value) is the mu_t-only device-resident loop
-at 512x512x50 — the same metric every round reports, so BENCH_r*.json stays
-round-over-round comparable.  From round 2 the loop is temporally blocked
-(S substeps per Pallas pass — ops/advance_mu_t_msteps.py): the headline
-runs S=32 fast mode (re-associated f32, tolerance class of the XLA
-tier), the "exact S=8" row tracks the bit-equal blocked scan, and the
-"S=1" row tracks the unblocked number for continuity.  ``configs`` adds machine-readable records for
+The headline record (top-level value) is the EXACT temporally-blocked
+mu_t-only device-resident loop at 512x512x50 (S=8, bit-equal to the
+unblocked scan) — a real-throughput number directly comparable to the
+r01 (S=1, 0.833 ms) and r02 (S=8, 0.3795 ms) exact rows.  The S=32
+closed-form "fast" mode stays a SECONDARY row, clearly labeled
+``"fast": true``: its per-substep cost is C/S by construction (one pass
+covers S substeps algebraically), so it measures algebra, not memory
+throughput, and must never headline.  The "S=1" row tracks the unblocked
+number for continuity.  ``configs`` adds machine-readable records for
 the flagship coupled substep (advance_uv + advance_mu_t fused), the
 coupled+w stack (adds the vertically-implicit w/pp substep), and the
 CONUS-scale 1500x1500x50 coupled run.
+
+Every record carries its achieved bandwidth (``gb_per_s``, from the
+enumerated-stream traffic model in wrf_tpu/utils/traffic.py) and the
+fraction of the same-run measured bare-copy HBM ceiling
+(``pct_copy_ceiling``) — the memory-bound claim is machine-checkable:
+~100% means HBM-bound (only traffic removal helps), well below means
+compute/pipeline-bound (arithmetic is the lever).
 
 Baseline: the reference's published CUDA number — 74x61x32 grid in 0.051 ms
 on 3x GTX-680 (reference README.md:16-24) = 2.833e9 grid-points/s for the
@@ -60,23 +69,25 @@ REFERENCE_GPS = 144448 / 51e-6  # 74*61*32 points / 0.051 ms
 # Temporal blocking (inner_steps=S, ops/advance_mu_t_msteps.py) is ON
 # for the headline and coupled configs — it computes the identical
 # substep sequence (bit-equal for mu_t exact mode; <=2 ulp/substep for
-# coupled), S substeps per HBM pass.  The headline additionally uses
-# fast mode ("<S>f": re-associated f32 — affine-hoisted ww cumsum +
-# wind-linear folding, the same tolerance class as the XLA tier;
-# "fast": true in the record).  Counts are pass-aligned at runtime
-# (blocked_counts); the headline's long span buys a ~27 ms signal at
+# coupled), S substeps per HBM pass.  The secondary fast row ("<S>f":
+# re-associated f32 — affine-hoisted ww cumsum + wind-linear folding,
+# the same tolerance class as the XLA tier) is labeled "fast": true in
+# the record and never headlines.  Counts are pass-aligned at runtime
+# (blocked_counts); the fast row's long span buys a ~27 ms signal at
 # its ~0.02 ms/substep rate.  Depths/tj are the chip-sweep winners
-# (tools/msteps_tune.py): mu_t fast S=32 (per-pass cost is flat so
-# per-substep is C/S by construction — S=32 is the FIXED representative
-# point, see README); exact S=8; coupled S=4 tj=12 (its VMEM ceiling);
-# coupled+w S=4 tj=8 (1.1444 vs 1.165 default; tj>=10 compile-crash).
-# Module-level so tests can exercise every row's code path at small
-# sizes (tests/test_bench.py).
+# (tools/msteps_tune.py): exact S=8; coupled S=4 tj=12 (its VMEM
+# ceiling); coupled+w S=4 tj=8 (1.1444 vs 1.165 default; tj>=10
+# compile-crash).  Module-level so tests can exercise every row's code
+# path at small sizes (tests/test_bench.py).
 SPECS = [
-    ("mu_t 512x512x50", 512, 512, 50,
-     False, False, False, "32f", (50, 1250), None),
+    # HEADLINE: exact (bit-equal) blocked loop — real throughput,
+    # round-over-round comparable (r01 S=1 0.833, r02 S=8 0.3795)
     ("mu_t 512x512x50 exact S=8", 512, 512, 50,
      False, False, False, 8, (50, 250), None),
+    # closed-form fast mode: SECONDARY record — per-substep cost is C/S
+    # by construction (README), never the headline
+    ("mu_t 512x512x50 fast S=32", 512, 512, 50,
+     False, False, False, "32f", (50, 1250), None),
     # the reference's own benchmark grid (its README: 0.051 ms on 3x
     # GTX-680) — bit-equal blocking, the head-to-head record
     ("ref-grid 74x61x32 exact S=8", 74, 61, 32,
@@ -157,6 +168,47 @@ def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=12,
 
 
 
+def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
+                      shape=(512, 50, 514), tj: int = 8) -> float:
+    """Measured bare read+write HBM ceiling: a Pallas identity-copy chain
+    (x -> copy(x), j-tiled like the production kernels), timed by the same
+    marginal two-count method.  Pallas calls are opaque to XLA, so the
+    scan cannot collapse the chain.  Returns GB/s (read+write bytes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    J, K, I = shape
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = x_ref[:]
+
+    spec = pl.BlockSpec((tj, K, I), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    copy = pl.pallas_call(kern, grid=(J // tj,), in_specs=[spec],
+                          out_specs=spec,
+                          out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))
+
+    times = {}
+    for steps in (n1, n2):
+        @jax.jit
+        def run(x, _steps=steps):
+            def body(c, _):
+                return copy(c), None
+            c, _ = jax.lax.scan(body, x, length=_steps)
+            return jnp.sum(c[:, 0, :])
+
+        x = jnp.ones(shape, jnp.float32)
+        float(run(x))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(x))
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+    per = (times[n2] - times[n1]) / (n2 - n1)
+    return 2 * J * K * I * 4 / per / 1e9
+
+
 def _wait_healthy() -> None:
     """Gate the round-end record on relay health (shared tuning lives in
     wrf_tpu.utils.health — a vmem-limit-class fault can keep the worker
@@ -166,23 +218,55 @@ def _wait_healthy() -> None:
     wait_healthy_inline()
 
 
-def _emit(records):
-    # headline = THE config the metric string names (mu_t 512x512x50),
-    # never a different row; if it errored/was skipped, the headline
-    # reads value 0 with headline_error set rather than silently 0
+HEADLINE = "mu_t 512x512x50 exact S=8"
+
+
+def _bandwidth_fields(nx, ny, nz, *, coupled, with_w, bf16, S, tj,
+                      per_substep_s, copy_gbps):
+    """gb_per_s / pct_copy_ceiling fields for one record (traffic model:
+    wrf_tpu/utils/traffic.py; tj resolution mirrors the loops')."""
+    from wrf_tpu.ops.advance_mu_t_msteps import multistep_tile_params
+    from wrf_tpu.ops.advance_mu_t_pallas import sharded_tile_params
+    from wrf_tpu.utils.traffic import substep_traffic
+
+    if tj is None:
+        if S > 1:
+            tj = multistep_tile_params(nz, nx, None)[0]
+        else:
+            tj = sharded_tile_params(nz, nx, None,
+                                     streams=32 if bf16 else 44)[0]
+    tr = substep_traffic(nx, ny, nz, coupled=coupled, with_w=with_w,
+                         S=S, tj=tj, bf16=bf16)
+    gbps = tr.bytes_per_substep / per_substep_s / 1e9
+    out = {"gb_per_s": round(gbps, 1),
+           "modeled_mb_per_substep": round(tr.bytes_per_substep / 1e6, 1),
+           "tj": tj}
+    if copy_gbps:
+        out["pct_copy_ceiling"] = round(100 * gbps / copy_gbps, 1)
+    return out
+
+
+def _emit(records, copy_gbps=None):
+    # headline = THE config the metric string names (the exact blocked
+    # loop — bit-equal numerics, real throughput), never a different
+    # row; if it errored/was skipped, the headline reads value 0 with
+    # headline_error set rather than silently 0
     head = next((r for r in records
-                 if r.get("config") == "mu_t 512x512x50"
+                 if r.get("config") == HEADLINE
                  and r.get("gpts_per_s")), {})
     extra = {}
     if not head and records:
         extra = {"headline_error":
                  records[0].get("error", records[0].get("skipped",
                                                         "missing"))}
+    if copy_gbps is not None:
+        extra["copy_ceiling_gb_per_s"] = round(copy_gbps, 1)
     print(
         json.dumps(
             {
                 "metric": "advance_mu_t grid-points/s/chip "
-                          "(512x512x50, device-resident loop)",
+                          "(512x512x50, exact blocked device-resident "
+                          "loop, S=8 bit-equal)",
                 "value": head.get("gpts_per_s", 0),
                 "unit": "grid-points/s",
                 "vs_baseline": head.get("vs_baseline", 0),
@@ -206,13 +290,14 @@ def main():
     # takes ~25 min incl. the CONUS compiles): emit what we have on
     # SIGTERM, and stop starting new configs past the time budget
     records = []
+    copy_gbps = None
 
     def _on_term(signum, frame):
         records.append({"config": "(killed)", "error": f"signal {signum}"})
-        _emit(records)
+        _emit(records, copy_gbps)
         # partial-but-valid: the headline row runs first, so a kill
         # after it should not read as a failed bench
-        got_head = any(r.get("config") == "mu_t 512x512x50"
+        got_head = any(r.get("config") == HEADLINE
                        and r.get("gpts_per_s") for r in records)
         raise SystemExit(0 if got_head else 1)
 
@@ -222,6 +307,12 @@ def main():
 
     _wait_healthy()
     mesh = make_mesh([jax.devices()[0]], (1, 1))
+
+    try:
+        copy_gbps = measure_copy_gbps()
+    except Exception as e:
+        records.append({"config": "(copy ceiling)",
+                        "error": f"{type(e).__name__}: {e}"[:200]})
 
     for (name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2),
          tj) in SPECS:
@@ -236,7 +327,7 @@ def main():
             per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
                                  coupled=coupled, with_w=with_w, bf16=bf16,
                                  inner_steps=inner, fast=fast, tj=tj)
-            records.append({
+            rec = {
                 "config": name,
                 "ms_per_step": round(per * 1e3, 4),
                 "gpts_per_s": round(pts / per),
@@ -244,12 +335,21 @@ def main():
                 "method": "marginal",
                 **({"inner_steps": inner} if inner > 1 else {}),
                 **({"fast": True} if fast else {}),
-            })
+            }
+            # achieved bandwidth from the enumerated-stream traffic model
+            # (wrf_tpu/utils/traffic.py); fast mode collapses the substep
+            # loop algebraically so its traffic is not substep-modeled
+            if not fast:
+                rec.update(_bandwidth_fields(
+                    nx, ny, nz, coupled=coupled, with_w=with_w, bf16=bf16,
+                    S=inner, tj=tj, per_substep_s=per,
+                    copy_gbps=copy_gbps))
+            records.append(rec)
         except Exception as e:  # keep earlier records if a config fails
             records.append({"config": name,
                             "error": f"{type(e).__name__}: {e}"[:300]})
 
-    _emit(records)
+    _emit(records, copy_gbps)
 
 
 if __name__ == "__main__":

@@ -60,19 +60,65 @@ def test_emit_headline_is_the_named_config(capsys):
     records = [
         {"config": "coupled 512x512x50", "gpts_per_s": 99, "ms_per_step": 9,
          "vs_baseline": 9},
-        {"config": "mu_t 512x512x50", "gpts_per_s": 123, "ms_per_step": 1.0,
+        {"config": bench.HEADLINE, "gpts_per_s": 123, "ms_per_step": 1.0,
          "vs_baseline": 4.5},
     ]
-    bench._emit(records)
+    bench._emit(records, copy_gbps=500.0)
     out = json.loads(capsys.readouterr().out)
     assert out["value"] == 123  # the named headline row, not the first
     assert out["vs_baseline"] == 4.5
     assert out["configs"] == records
+    assert out["copy_ceiling_gb_per_s"] == 500.0
 
 
 def test_emit_missing_headline_is_flagged(capsys):
-    bench._emit([{"config": "mu_t 512x512x50",
+    bench._emit([{"config": bench.HEADLINE,
                   "error": "RuntimeError: boom"}])
     out = json.loads(capsys.readouterr().out)
     assert out["value"] == 0
     assert "headline_error" in out
+
+
+def test_headline_is_the_exact_blocked_row():
+    """The headline must be the bit-equal blocked loop, never a fast
+    (re-associated, C/S-by-construction) row (VERDICT r2 weak #1)."""
+    row = next(r for r in bench.SPECS if r[0] == bench.HEADLINE)
+    assert not str(row[7]).endswith("f")  # exact, not fast mode
+    assert bench.SPECS[0][0] == bench.HEADLINE  # runs first (kill-safety)
+
+
+def test_traffic_model_matches_known_accounting():
+    """Pin the enumerated-stream model to hand-derived pass counts from
+    the kernel wrappers' BlockSpecs (see traffic.py docstring)."""
+    from wrf_tpu.utils.traffic import substep_traffic
+
+    big = 514 * 50 * 514 * 4
+    # mu_t S=1, tj=12: 5 const + 2 t + 3/12 rows = 7.25 big passes
+    tr = substep_traffic(512, 512, 50, coupled=False, S=1, tj=12)
+    assert abs(tr.big_passes - 7.25) < 1e-9
+    # README's measured ~385 MB/substep figure for the lean substep
+    assert 370e6 < tr.bytes_per_substep < 400e6
+    # blocked S=8: the same 7 passes once per 8 substeps
+    tr8 = substep_traffic(512, 512, 50, coupled=False, S=8, tj=6)
+    assert abs(tr8.big_passes - (7 + 3 / 6) / 8) < 1e-9
+    # coupled trapezoid S=4 tj=12: (3 const + 6 uvt + 21/12 overlap)/4
+    trc = substep_traffic(512, 512, 50, coupled=True, S=4, tj=12)
+    assert abs(trc.big_passes - (9 + 21 / 12) / 4) < 1e-9
+    # +w adds w/pp read+write (4 passes per pass)
+    trw = substep_traffic(512, 512, 50, coupled=True, with_w=True,
+                          S=4, tj=8)
+    assert abs(trw.big_passes - (13 + 21 / 8) / 4) < 1e-9
+    # bf16 halves const streams only
+    trb = substep_traffic(512, 512, 50, coupled=False, S=1, tj=17,
+                          bf16=True)
+    assert abs(trb.big_passes - (2.5 + 2 + 3 / 17)) < 1e-9
+    assert tr.bytes_per_substep == big * 7.25 + (big / 50) * 8
+
+
+def test_bandwidth_fields_round_trip():
+    f = bench._bandwidth_fields(512, 512, 50, coupled=True, with_w=False,
+                                bf16=False, S=4, tj=12,
+                                per_substep_s=0.572e-3, copy_gbps=500.0)
+    assert f["tj"] == 12
+    assert 0 < f["gb_per_s"] < 500
+    assert f["pct_copy_ceiling"] == round(100 * f["gb_per_s"] / 500.0, 1)
