@@ -28,9 +28,19 @@ def _tiny_dims(inner):
     return 40, 30, 12, s, 2 * s
 
 
+# quick tier keeps the headline + one representative per loop family;
+# the remaining rows (bf16 variants, CONUS tj pins, coupled+w) are the
+# exhaustive tier — each compiles its own interpret-mode kernel (~10-20s)
+_QUICK_ROWS = {"mu_t 512x512x50 exact S=8", "mu_t 512x512x50 fast S=32",
+               "mu_t 512x512x50 S=1", "coupled 512x512x50"}
+
+
 @pytest.mark.parametrize(
     "name,coupled,with_w,bf16,inner,tj",
-    [(r[0], r[4], r[5], r[6], r[7], r[9]) for r in bench.SPECS],
+    [pytest.param(r[0], r[4], r[5], r[6], r[7], r[9],
+                  marks=() if r[0] in _QUICK_ROWS
+                  else pytest.mark.full)
+     for r in bench.SPECS],
 )
 def test_spec_row_executes(name, coupled, with_w, bf16, inner, tj):
     mesh = make_mesh([jax.devices()[0]], (1, 1))

@@ -32,7 +32,8 @@ def case():
 
 @pytest.mark.parametrize("cls,kw", [
     (SmallStepLoop, {}),
-    (SmallStepLoop, {"with_w": True}),
+    pytest.param(SmallStepLoop, {"with_w": True},
+                 marks=pytest.mark.full),
     (ShardedAdvanceMuT, {"vary_winds": True}),
 ])
 def test_bf16_const_streams_track_f32(case, cls, kw):

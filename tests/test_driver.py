@@ -1,6 +1,7 @@
 """L4 tests: the Python CLI verification driver."""
 
 import numpy as np
+import pytest
 
 from wrf_tpu import driver
 from wrf_tpu.io import codec, fixtures
@@ -108,6 +109,7 @@ def test_driver_coupled_native_tier(tmp_path, small_case, capsys):
     assert lines and all("max_ulp=0" in l for l in lines), out
 
 
+@pytest.mark.full
 def test_driver_all_tiers(tmp_path, small_case, capsys):
     """The side-by-side tier matrix covers the FULL tier set — single-substep
     tiers, both sharded tiers, the three coupled tiers and their +w variants,

@@ -137,7 +137,11 @@ def _run_coupled(case, nx, ny, nz, n_steps, inner_steps, **kw):
     return loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
 
 
-@pytest.mark.parametrize("n_steps", [3, 8, 9])
+@pytest.mark.parametrize("n_steps", [
+    3,
+    pytest.param(8, marks=pytest.mark.full),
+    pytest.param(9, marks=pytest.mark.full),
+])
 def test_coupled_blocked_vs_single(n_steps):
     """Blocked coupled pairs vs the single-step fused scan.  NOT bit-
     equal (unlike the mu_t-only blocking): the trapezoid kernel's
@@ -207,7 +211,11 @@ def test_coupled_inner_steps_validation():
 # ------------------------------------------------------------------ #
 # Depth-S coupled trapezoid (coupled_multistep_pallas, S > 2)
 # ------------------------------------------------------------------ #
-@pytest.mark.parametrize("inner,n_steps", [(3, 7), (4, 9), (4, 13)])
+@pytest.mark.parametrize("inner,n_steps", [
+    (3, 7),
+    pytest.param(4, 9, marks=pytest.mark.full),
+    pytest.param(4, 13, marks=pytest.mark.full),
+])
 def test_coupled_deep_blocked_vs_single(inner, n_steps):
     """The generalized depth-S trapezoid vs the single-step fused scan
     (same tolerance class as the S=2 pair kernel: <=2 ulp/substep
@@ -261,6 +269,7 @@ def test_coupled_deep_blocked_vs_golden():
             err_msg=name)
 
 
+@pytest.mark.full
 def test_coupled_deep_blocked_with_w_and_modes():
     """Depth-4 blocking composes with fuse_w, fast scan and bf16
     constant streams."""
@@ -347,7 +356,11 @@ def test_blocked_fast_mode_on_mesh():
                                    err_msg=k)
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4)])
+@pytest.mark.parametrize("mesh_shape", [
+    pytest.param((4, 1), marks=pytest.mark.full),
+    (2, 2),   # both axes sharded: the quick-tier representative
+    pytest.param((1, 4), marks=pytest.mark.full),
+])
 def test_coupled_blocked_on_mesh(mesh_shape):
     """Multi-chip blocked coupled pairs: ring-2 halos (halo.widen_ring_to)
     with a width-2 exchange per pair — same bytes as the per-substep
@@ -374,7 +387,11 @@ def test_coupled_blocked_on_mesh(mesh_shape):
                                    err_msg=k)
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4)])
+@pytest.mark.parametrize("mesh_shape", [
+    pytest.param((4, 1), marks=pytest.mark.full),
+    (2, 2),   # both axes sharded: the quick-tier representative
+    pytest.param((1, 4), marks=pytest.mark.full),
+])
 def test_coupled_deep_blocked_on_mesh(mesh_shape):
     """Multi-chip depth-4 trapezoid: ring-4 halos (halo.widen_ring_to)
     with ONE width-4 exchange per block — same bytes as the per-substep

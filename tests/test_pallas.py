@@ -50,6 +50,7 @@ def test_pallas_tile_sizes(small_case, tj):
     outputs_allclose(run_pallas(small_case, tj=tj), run_native(small_case))
 
 
+@pytest.mark.full
 def test_pallas_multi_step(small_case):
     outputs_allclose(
         run_pallas(small_case, steps=20), run_native(small_case, steps=20),

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from tests.conftest import outputs_allclose
 from wrf_tpu.models.rk3 import RK3Integrator, rk3_golden, rk3_stages
@@ -47,6 +48,7 @@ def test_rk3_matches_golden(small_case):
                      rtol=5e-5, atol_scale=2e-6)
 
 
+@pytest.mark.full
 def test_rk3_with_w_matches_golden(small_case):
     """RK3 over the full substep (uv + mu/t + implicit w), pallas kernel."""
     case = small_case
@@ -85,7 +87,6 @@ def test_rk3_tendency_hook(small_case):
     assert np.isfinite(np.asarray(out["t"])).all()
 
 
-import pytest
 from wrf_tpu.io import fixtures as _fixtures
 
 
@@ -95,6 +96,7 @@ def balanced_case():
                                balanced=True)
 
 
+@pytest.mark.full
 def test_multi_step_matches_host_stepping(balanced_case):
     """The device-resident large-step scan (multi_step) is bit-identical
     to host-stepped rk3.step + merge over the same horizon, and its

@@ -3,6 +3,8 @@ stop-and-resume continuity."""
 
 import json
 
+import pytest
+
 import numpy as np
 
 from wrf_tpu import run_sim
@@ -26,6 +28,7 @@ def _fixture(tmp_path, case, calm: bool = False):
     return str(fixtures.write_case(case, tmp_path / "fx", steps=1))
 
 
+@pytest.mark.full
 def test_run_sim_smoke(tmp_path, small_case, capsys):
     d = _fixture(tmp_path, small_case)
     rc = run_sim.main([d, "--steps", "2", "--mesh", "2x2", "--with-w",
@@ -76,6 +79,7 @@ def test_run_sim_namelist_input_text(tmp_path, small_case, capsys):
     assert rc == 0
 
 
+@pytest.mark.full
 def test_run_sim_checkpoint_resume(tmp_path, small_case, capsys):
     """2 steps + resume 1 == 3 straight steps, bit-for-bit (the snapshot
     format is the full carried state)."""
@@ -99,6 +103,7 @@ def test_run_sim_checkpoint_resume(tmp_path, small_case, capsys):
                                       err_msg=name)
 
 
+@pytest.mark.full
 def test_run_sim_bf16_precision(tmp_path, small_case, capsys):
     """--precision bf16-const runs end-to-end and stays close to f32."""
     d = _fixture(tmp_path, small_case, calm=True)
@@ -116,6 +121,7 @@ def test_run_sim_bf16_precision(tmp_path, small_case, capsys):
         assert err <= 2e-2 * scale, (name, err, scale)
 
 
+@pytest.mark.full
 def test_run_sim_steps_per_sync(tmp_path, small_case, capsys):
     """--steps-per-sync K runs K large steps device-resident per launch;
     the final checkpoint matches host stepping to a few ulp and the
@@ -140,6 +146,7 @@ def test_run_sim_steps_per_sync(tmp_path, small_case, capsys):
                                    atol=1e-6 * scale, err_msg=name)
 
 
+@pytest.mark.full
 def test_resume_nudge_reference_continuity(tmp_path, small_case, capsys):
     """A resumed --closure nudge run must relax toward the run's ORIGINAL
     base state, not the checkpointed state: 2 steps + resume 2 equals 4
@@ -164,6 +171,7 @@ def test_resume_nudge_reference_continuity(tmp_path, small_case, capsys):
                                       err_msg=name)
 
 
+@pytest.mark.full
 def test_run_sim_blocked_fast(tmp_path, small_case, capsys):
     """--inner-steps 2 --fast: the blocked coupled loop's re-associated
     fast scan runs through the production driver and stays finite."""

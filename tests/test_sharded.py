@@ -276,6 +276,7 @@ def test_trapezoid_collective_schedule(small_case):
     assert in_body == 12, f"expected 12 in-scan permutes/block, got {in_body}"
 
 
+@pytest.mark.full
 def test_multihost_two_process():
     """TRUE multi-process run of the multi-host bring-up recipe: two OS
     processes (Gloo CPU collectives, 4 devices each) must reproduce the
@@ -291,4 +292,24 @@ def test_multihost_two_process():
                        env={k: v for k, v in __import__("os").environ.items()
                             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
     assert r.returncode == 0 and "MULTIHOST OK" in r.stdout, (
+        r.stdout[-2000:] + r.stderr[-2000:])
+
+
+@pytest.mark.full
+def test_multihost_four_process_2d_grid():
+    """4 OS processes x 2 devices on the (2, 4) mesh — a TRUE 2-D process
+    grid: every j row of the mesh spans two processes, so the i-axis halo
+    exchange also crosses process boundaries and the per-process blocks
+    are 2-D (distributed.process_local_block), not j-slabs.  Must be
+    BIT-equal to the single-process run (tools/multihost_check.py)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parents[1] / "tools" / "multihost_check.py"
+    r = subprocess.run([_sys.executable, str(tool), "--nproc", "4"],
+                       capture_output=True, text=True, timeout=1100,
+                       env={k: v for k, v in __import__("os").environ.items()
+                            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+    assert r.returncode == 0 and "MULTIHOST OK (4 processes)" in r.stdout, (
         r.stdout[-2000:] + r.stderr[-2000:])
