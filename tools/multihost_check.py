@@ -16,12 +16,18 @@ single-process on the same (2, 4) mesh over the same 8 devices — only
 process placement differs, so any divergence is a distributed-runtime
 bug, not tolerance noise.
 
-Usage: python tools/multihost_check.py          # orchestrates everything
-       (internal: ... ref OUT.npz | worker PID OUT.npz)
+Usage: python tools/multihost_check.py            # 2 procs x 4 devices
+       python tools/multihost_check.py --nproc 4  # 4 procs x 2 devices:
+           a TRUE 2-D process grid — the (2, 4) mesh's j rows each span
+           two processes, so the i-axis halo exchange ALSO crosses a
+           process boundary and per-process blocks are 2-D (extracted via
+           distributed.process_local_block), not j-slabs
+       (internal: ... ref OUT.npz | worker PID NPROC OUT.npz)
 
-MEASURED 2026-08-18: both loops bit-equal across 2 processes (see
-commit); the same-box Gloo transport stands in for DCN — what it
-validates is the recipe and the SPMD program, not wire performance.
+MEASURED 2026-08-18: both loops bit-equal across 2 processes; 2026-08-19:
+and across the 4-process 2-D grid (see commit).  The same-box Gloo
+transport stands in for DCN — what it validates is the recipe and the
+SPMD program, not wire performance.
 """
 
 import os
@@ -30,17 +36,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COORD = "localhost:9917"
-NPROC = 2
-DEV_PER_PROC = 4
+NPROC = 2          # overridden by --nproc / the worker argv
+TOTAL_DEVICES = 8  # fixed (2, 4) mesh; DEV_PER_PROC = 8 // NPROC
 
 
-def _setup_jax():
+def _setup_jax(dev_per_proc):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={DEV_PER_PROC}"
+            flags + f" --xla_force_host_platform_device_count={dev_per_proc}"
         ).strip()
     import jax
 
@@ -61,25 +66,29 @@ def _compute(jax, mesh, *, multihost: bool):
     )
 
     def assemble(loop, dom):
-        """Per-process j-slabs -> global arrays (the multi-host path),
-        or the single-process prepare()."""
+        """Per-process local blocks -> global arrays (the multi-host
+        path), or the single-process prepare().  Blocks are extracted via
+        the sharding's own device->index map (process_local_block), so
+        the SAME code serves 1-D j-slab process layouts and 2-D process
+        grids (--nproc 4)."""
         if not multihost:
             return loop.prepare(dom)
-        pid = jax.process_index()
-        slabs = {}
-        rows_per_proc = None
+        blocks = {}
+        gshapes = {}
+        n_sharded = 0
         for name, arr in dom.items():
             padded = np.asarray(pad_to_mesh(arr, mesh))
             sh = loop.shardings[name]
             if not sh.spec:            # replicated: full vector everywhere
-                slabs[name] = padded
+                blocks[name] = padded
                 continue
-            assert padded.shape[0] % NPROC == 0, name
-            rows = padded.shape[0] // NPROC
-            slabs[name] = padded[pid * rows : (pid + 1) * rows]
-            rows_per_proc = rows
-        assert rows_per_proc, "no sharded fields?"
-        return distributed.host_local_arrays(mesh, slabs, loop.shardings)
+            blocks[name] = padded[
+                distributed.process_local_block(sh, padded.shape)]
+            gshapes[name] = padded.shape
+            n_sharded += 1
+        assert n_sharded, "no sharded fields?"
+        return distributed.host_local_arrays(mesh, blocks, loop.shardings,
+                                             global_shapes=gshapes)
 
     def record(tag, out, names=("t", "mu", "ww")):
         for name in names:
@@ -131,18 +140,21 @@ def _mesh_2x4(jax):
 
 def main_ref(out_path):
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-    jax = _setup_jax()
+    jax = _setup_jax(TOTAL_DEVICES)
     import numpy as np
 
     np.savez(out_path, **_compute(jax, _mesh_2x4(jax), multihost=False))
     print("ref done", flush=True)
 
 
-def main_worker(pid, out_path):
-    jax = _setup_jax()
-    jax.distributed.initialize(coordinator_address=COORD,
-                               num_processes=NPROC, process_id=pid)
-    assert len(jax.devices()) == NPROC * DEV_PER_PROC
+def main_worker(pid, nproc, out_path):
+    jax = _setup_jax(TOTAL_DEVICES // nproc)
+    # per-layout port so a lingering coordinator from the other variant
+    # (CI runs both) can never be joined by mistake
+    coord = f"localhost:{9915 + nproc}"
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    assert len(jax.devices()) == TOTAL_DEVICES
     import numpy as np
 
     res = _compute(jax, _mesh_2x4(jax), multihost=True)
@@ -151,30 +163,32 @@ def main_worker(pid, out_path):
     print(f"worker {pid} done", flush=True)
 
 
-def main():
+def main(nproc=NPROC):
     import numpy as np
 
     here = os.path.abspath(__file__)
-    tmp = "/tmp/wrf_tpu_multihost"
+    tmp = f"/tmp/wrf_tpu_multihost_{nproc}p"
     os.makedirs(tmp, exist_ok=True)
     ref_npz, mh_npz = f"{tmp}/ref.npz", f"{tmp}/mh.npz"
     subprocess.run([sys.executable, here, "ref", ref_npz], check=True)
     procs = [subprocess.Popen([sys.executable, here, "worker", str(i),
-                               mh_npz]) for i in range(NPROC)]
+                               str(nproc), mh_npz]) for i in range(nproc)]
     for p in procs:
         assert p.wait(timeout=1200) == 0, "worker failed"
     ref, mh = np.load(ref_npz), np.load(mh_npz)
     for name in ref.files:
         np.testing.assert_array_equal(mh[name], ref[name], err_msg=name)
-        print(f"OK   {name}: 2-process == single-process (bit-equal, "
+        print(f"OK   {name}: {nproc}-process == single-process (bit-equal, "
               f"{ref[name].shape})", flush=True)
-    print("MULTIHOST OK")
+    print(f"MULTIHOST OK ({nproc} processes)")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "ref":
         main_ref(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "worker":
-        main_worker(int(sys.argv[2]), sys.argv[3])
+        main_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--nproc":
+        main(int(sys.argv[2]))
     else:
         main()

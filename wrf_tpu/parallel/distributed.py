@@ -75,23 +75,53 @@ def global_mesh(shape: tuple[int, int] | None = None) -> Mesh:
     return make_mesh(devices, shape)
 
 
-def host_local_arrays(mesh: Mesh, arrays: dict[str, np.ndarray],
-                      shardings: dict[str, NamedSharding]) -> dict:
-    """Assemble global jax.Arrays from per-host slabs.
+def process_local_block(sharding: NamedSharding,
+                        global_shape: tuple) -> tuple[slice, ...]:
+    """This process's contiguous index block of a globally-sharded array
+    — the union of its addressable devices' shard slices.  Works for any
+    process layout over the mesh (1-D j-slabs AND 2-D process grids: with
+    row-major device enumeration each process's shards always tile a
+    contiguous block)."""
+    pid = jax.process_index()
+    mine = [idx for d, idx in
+            sharding.devices_indices_map(tuple(global_shape)).items()
+            if d.process_index == pid]
+    assert mine, "process owns no shard of this sharding"
+    out = []
+    for a in range(len(global_shape)):
+        starts = [ix[a].start or 0 for ix in mine]
+        stops = [global_shape[a] if ix[a].stop is None else ix[a].stop
+                 for ix in mine]
+        out.append(slice(min(starts), max(stops)))
+    return tuple(out)
 
-    ``arrays`` holds each field's HOST-LOCAL slab (this process's rows of
-    the j-decomposition, full extent on unsharded axes), already padded to
+
+def host_local_arrays(mesh: Mesh, arrays: dict[str, np.ndarray],
+                      shardings: dict[str, NamedSharding],
+                      global_shapes: dict[str, tuple] | None = None) -> dict:
+    """Assemble global jax.Arrays from per-host local blocks.
+
+    ``arrays`` holds each field's HOST-LOCAL block, already padded to
     mesh-divisible global sizes like ``pad_to_mesh`` does.  Replicated
-    (1-D) fields pass the full vector on every host."""
+    (1-D) fields pass the full vector on every host.
+
+    Without ``global_shapes`` hosts must own contiguous j-slabs (1-D
+    process layout over the outer mesh axis; the global j extent is
+    inferred as ``local_rows * process_count``).  With ``global_shapes``
+    (field name -> global shape) any process layout works — each host
+    passes the block :func:`process_local_block` names."""
     out = {}
     for name, arr in arrays.items():
         sh = shardings[name]
         if sh.spec == P():
             out[name] = jax.device_put(jnp.asarray(arr, jnp.float32), sh)
             continue
-        # hosts own contiguous j-slabs (the j axis is the outer mesh axis)
-        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        if global_shapes is not None:
+            gshape = tuple(global_shapes[name])
+        else:
+            # hosts own contiguous j-slabs (j is the outer mesh axis)
+            gshape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
         out[name] = jax.make_array_from_process_local_data(
-            sh, np.asarray(arr, np.float32), global_shape
+            sh, np.asarray(arr, np.float32), gshape
         )
     return out
