@@ -1,0 +1,120 @@
+"""Overlapped in-kernel halo exchange (advance_mu_t_pallas ``overlap``).
+
+The overlap mode fuses the j-axis ring RDMA into the substep kernel:
+sends start at the first grid step, the grid permutation schedules the
+two halo-reading edge tiles last, and only they wait for the landed
+rows.  These tests prove, on the virtual 1-axis mesh the Pallas
+interpreter can discharge remote DMAs on:
+
+* BIT-equality with the exchange-then-compute form (ppermute-refreshed
+  halos + the plain kernel) — the exchanged values are identical by
+  construction, so any difference is a scheduling/aliasing bug;
+* the kernel really CONSUMES the RDMA'd rows: the HBM halo rows of
+  mu/v are poisoned with garbage before the overlap call, and the
+  outputs must not change.
+
+Compiled multi-axis/self-ring validation runs on hardware
+(tools/chip_checks.py); the loop-level backend is
+SmallStepLoop(halo_backend="rdma_overlap").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from wrf_tpu.ops.advance_mu_t_pallas import advance_mu_t_pallas
+from wrf_tpu.parallel import halo
+
+F3 = ("ww", "ww_1", "u", "u_1", "v", "v_1", "t", "t_1", "t_ave", "ft")
+F2 = ("mu", "mut", "muu", "muv", "mu_tend",
+      "msfuy", "msfvx_inv", "msftx", "msfty")
+F1 = ("dnw", "fnm", "fnp", "rdnw")
+
+
+def _global_fields(ny, nx, K, seed=3):
+    rng = np.random.default_rng(seed)
+    I = nx + 2   # i ring carried in the global array (i unsharded)
+    g = {n: rng.standard_normal((ny, K, I)).astype(np.float32) for n in F3}
+    g.update({n: rng.standard_normal((ny, I)).astype(np.float32)
+              for n in F2})
+    # map factors are divisors: keep them away from zero
+    for n in ("msfuy", "msfvx_inv", "msftx", "msfty"):
+        g[n] = (0.5 + np.abs(g[n])).astype(np.float32)
+    g.update({n: rng.standard_normal((K,)).astype(np.float32) for n in F1})
+    return g
+
+
+def _run(backend, ny, nx, K, n_sh, tj, seed=3):
+    """One fused coupled substep on a (j=n_sh,) ring; torus topology
+    (window spans everything, ring wrap is the exchange)."""
+    mesh = jax.make_mesh((n_sh,), ("j",), devices=jax.devices()[:n_sh])
+    g = _global_fields(ny, nx, K, seed)
+    nj_loc = ny // n_sh
+    scal = dict(rdx=0.1, rdy=0.12, dts=0.25, epssm=0.1)
+    k0, k1 = 0, K - 2
+
+    def local(d):
+        # ring-1 j halos for every field, identically for both backends
+        p = {n: halo.exchange_axis(d[n], 0, "j")
+             for n in F3 + F2}
+        p = {n: (v[:, None, :] if d[n].ndim == 2 else v)
+             for n, v in p.items()}
+        p2 = {n: p[n][:, 0, :] for n in F2}
+        p3 = {n: p[n] for n in F3}
+        if backend == "overlap":
+            # poison the mu/v HBM halo rows: the kernel must use the
+            # RDMA'd neighbor rows, never these
+            for n in ("mu", "v"):
+                tgt = p2 if n == "mu" else p3
+                tgt[n] = tgt[n].at[0].set(1e30).at[-1].set(1e30)
+        j_off = jax.lax.axis_index("j") * nj_loc - 1
+        out = advance_mu_t_pallas(
+            **p3, **p2, **{n: d[n] for n in F1}, **scal,
+            window=(1, nx, 0, ny - 1), offsets=(j_off, -1),
+            k0=k0, k1=k1, kde=K - 1,
+            fuse_uv=True, cs2=0.3, tj=tj,
+            overlap=({"axis_name": "j", "n_interior": nj_loc,
+                      "collective_id": 7}
+                     if backend == "overlap" else None),
+            interpret=True,
+        )
+        return {n: out[n][1:-1] for n in ("ww", "t", "t_ave", "mu",
+                                          "muave", "muts", "mudf",
+                                          "u", "v")}
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=({n: P("j") for n in F3 + F2} | {n: P() for n in F1},),
+        out_specs={n: P("j") for n in ("ww", "t", "t_ave", "mu", "muave",
+                                       "muts", "mudf", "u", "v")},
+        check_vma=False)
+    return {n: np.asarray(v) for n, v in jax.jit(fn)(g).items()}
+
+
+@pytest.mark.parametrize("n_sh,tj", [(4, 3), (4, 2), (2, 6), (4, 6)])
+def test_overlap_bit_equal_to_ppermute(n_sh, tj):
+    """tj=6 makes G=1 (edge tiles ARE the only tile); tj=3 G=2 (no
+    interior tile); tj=2 G=3 (one interior tile between the edges)."""
+    ny, nx, K = 24, 16, 6
+    ref = _run("ppermute", ny, nx, K, n_sh, tj)
+    got = _run("overlap", ny, nx, K, n_sh, tj)
+    for n in sorted(ref):
+        np.testing.assert_array_equal(got[n], ref[n], err_msg=n)
+        assert np.all(np.abs(got[n]) < 1e20), f"poison leaked into {n}"
+
+
+def test_overlap_validations():
+    g = _global_fields(12, 8, 4)
+    p3 = {n: g[n][:, :, :] for n in F3}
+    p2 = {n: g[n] for n in F2}
+    kw = dict(**p3, **p2, **{n: g[n] for n in F1},
+              rdx=0.1, rdy=0.1, dts=0.2, epssm=0.1,
+              window=(1, 8, 1, 10), k0=0, k1=2, kde=3,
+              interpret=True)
+    ov = {"axis_name": "j", "n_interior": 10}
+    with pytest.raises(ValueError, match="fuse_uv"):
+        advance_mu_t_pallas(**kw, overlap=ov)
+    with pytest.raises(ValueError, match="tj"):
+        advance_mu_t_pallas(**kw, fuse_uv=True, cs2=0.3, tj=4, overlap=ov)

@@ -69,6 +69,10 @@ def main():
         ("ppermute exchange", dict(force_exchange=True,
                                    halo_backend="ppermute")),
         ("rdma exchange", dict(force_exchange=True, halo_backend="rdma")),
+        # the overlapped in-kernel form: one launch/substep, RDMAs hidden
+        # under the interior tiles' compute (advance_mu_t_pallas overlap)
+        ("rdma_overlap", dict(force_exchange=True,
+                              halo_backend="rdma_overlap")),
     ]
     base = None
     for name, kw in configs:

@@ -54,11 +54,12 @@ def refresh_case(mesh, spec, J, K, I):
     np.testing.assert_array_equal(np.asarray(y), ref)
 
 
-def loop_backend_equal(nx, ny, nz, steps=4, with_w=False, smdiv=0.0):
+def loop_backend_equal(nx, ny, nz, steps=4, with_w=False, smdiv=0.0,
+                       backends=("ppermute", "rdma")):
     case = fixtures.make_case(nx, ny, nz, halo=2, seed=3)
     mesh = make_mesh([jax.devices()[0]], (1, 1))
     outs = {}
-    for backend in ("ppermute", "rdma"):
+    for backend in backends:
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              halo_backend=backend, force_exchange=True,
                              with_w=with_w, smdiv=smdiv)
@@ -66,8 +67,9 @@ def loop_backend_equal(nx, ny, nz, steps=4, with_w=False, smdiv=0.0):
         out = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         outs[backend] = {k: np.asarray(v) for k, v in out.items()}
     for k in outs["ppermute"]:
-        np.testing.assert_array_equal(outs["rdma"][k], outs["ppermute"][k],
-                                      err_msg=k)
+        for b in backends[1:]:
+            np.testing.assert_array_equal(outs[b][k], outs["ppermute"][k],
+                                          err_msg=f"{b}/{k}")
 
 
 def fast_blocked_tolerance(nx, ny, nz, steps=9, inner=4, rtol=2e-5):
@@ -131,6 +133,18 @@ def main():
           lambda: loop_backend_equal(126, 48, 16))
     check("coupled loop rdma==ppermute, +w +smdiv (64x48x16)",
           lambda: loop_backend_equal(64, 48, 16, with_w=True, smdiv=0.1))
+    # the OVERLAPPED in-kernel exchange (advance_mu_t_pallas overlap):
+    # compiled self-ring — the fused RDMA + permuted grid must reproduce
+    # the exchange-then-compute backends bit-for-bit on hardware
+    check("coupled loop rdma_overlap==ppermute, staged lanes (64x48x16)",
+          lambda: loop_backend_equal(64, 48, 16,
+                                     backends=("ppermute", "rdma_overlap")))
+    check("coupled loop rdma_overlap==ppermute, aligned (126x48x16)",
+          lambda: loop_backend_equal(126, 48, 16,
+                                     backends=("ppermute", "rdma_overlap")))
+    check("coupled loop rdma_overlap==ppermute, +w (64x48x16)",
+          lambda: loop_backend_equal(64, 48, 16, with_w=True,
+                                     backends=("ppermute", "rdma_overlap")))
     check("fast blocked mu_t vs exact, compiled (96x80x20, S=4)",
           lambda: fast_blocked_tolerance(96, 80, 20))
     check("deep coupled trapezoid vs single, compiled (96x80x20, S=4)",

@@ -122,20 +122,43 @@ class SmallStepLoop:
                  tj: int | None = None, interpret: bool | None = None,
                  const_dtype=None, inner_steps: int = 1,
                  fast: bool = False):
-        """``halo_backend``: "ppermute" (XLA collectives; default) or
-        "rdma" (Pallas ``make_async_remote_copy`` ring exchange along the
-        j mesh axis, MESH-coordinate addressed — i-axis refreshes stay on
-        ppermute, see halo.remote_refresh_axis's layout note).  The rdma
-        backend requires compiled execution (the Pallas interpreter
-        cannot discharge remote DMAs on multi-axis meshes).
+        """``halo_backend``:
+
+        * "ppermute" (XLA collectives; default);
+        * "rdma" — Pallas ``make_async_remote_copy`` ring exchange along
+          the j mesh axis as its own kernel BEFORE the substep kernel
+          (exchange-then-compute), MESH-coordinate addressed — i-axis
+          refreshes stay on ppermute, see halo.remote_refresh_axis's
+          layout note;
+        * "rdma_overlap" — the exchange FUSED INTO the substep kernel
+          and overlapped with its interior compute: the RDMAs start at
+          the first grid step, the grid is permuted so the two
+          halo-reading edge tiles run last, and only they wait
+          (advance_mu_t_pallas ``overlap``).  One kernel launch per
+          substep total, with the transfer hidden under the interior
+          tiles' compute — SURVEY.md §7's "overlapped with interior
+          compute" design point.  Same bit-exact values as the other
+          backends (identical exchanged rows; only the schedule
+          differs).  Requires the fused pallas kernel, inner_steps=1,
+          and no divergence damping.
+
+        Both rdma backends require compiled execution (the Pallas
+        interpreter cannot discharge remote DMAs on multi-axis meshes).
 
         ``force_exchange`` runs the per-substep halo refreshes even on
         1-shard axes (a ring of one: self-exchange).  This corrupts the
         boundary-ring rows, so it is NOT for production — it exists so a
         single chip can execute the exact in-scan exchange code path of a
-        multi-chip run and the two backends can be diffed on hardware."""
-        if halo_backend not in ("ppermute", "rdma"):
+        multi-chip run and the backends can be diffed on hardware."""
+        if halo_backend not in ("ppermute", "rdma", "rdma_overlap"):
             raise ValueError(f"bad halo_backend {halo_backend!r}")
+        if halo_backend == "rdma_overlap":
+            if kernel != "pallas":
+                raise ValueError("rdma_overlap requires the fused pallas "
+                                 "kernel (the exchange lives inside it)")
+            if smdiv:
+                raise ValueError("rdma_overlap does not cover mudf halos "
+                                 "yet (divergence damping)")
         if const_dtype is not None and kernel != "pallas":
             raise ValueError("const_dtype requires the pallas kernel")
         if not isinstance(inner_steps, int) or inner_steps < 1:
@@ -154,11 +177,11 @@ class SmallStepLoop:
                 raise ValueError("inner_steps>1 does not support smdiv "
                                  "yet (mudf would need its own extended "
                                  "rows)")
-            if halo_backend == "rdma" and (
+            if halo_backend in ("rdma", "rdma_overlap") and (
                     mesh.shape["j"] > 1 or force_exchange):
                 raise ValueError("inner_steps>1 uses the width-S "
-                                 "ppermute exchange; the RDMA backend "
-                                 "covers the single-step loop")
+                                 "ppermute exchange; the RDMA backends "
+                                 "cover the single-step loop")
         self._force_exchange = force_exchange
         self.mesh = mesh
         self.domain = (nx, ny, nz)
@@ -224,6 +247,12 @@ class SmallStepLoop:
             else:
                 tj_loc, vmem_limit = sharded_tile_params(
                     K, ni_loc, tj, streams=68 if with_w else 44)
+            if halo_backend == "rdma_overlap":
+                # the in-kernel exchange substitutes halo rows at the
+                # edge tiles' ROW VIEWS, which is exact only with zero
+                # alignment padding: largest divisor of nj_loc <= tj
+                while nj_loc % tj_loc:
+                    tj_loc -= 1
             padj = (-nj_loc) % tj_loc if kernel == "pallas" else 0
             if padj:
                 for name in F3:
@@ -252,7 +281,7 @@ class SmallStepLoop:
                                    else v)
                                for k, v in lean_kw.items()}
 
-                def fused_step(ins, with_tave, ww_mode):
+                def fused_step(ins, with_tave, ww_mode, overlap_cfg=None):
                     lean = ww_mode == "lite"
                     return advance_mu_t_pallas(
                         **ins, **(lean_kw if lean else {}), **scalars,
@@ -262,6 +291,7 @@ class SmallStepLoop:
                         fuse_w=with_w, cw=cw, gw=gw, smdiv=smdiv,
                         ww_mode=ww_mode, lean=lean,
                         vmem_limit=vmem_limit,
+                        overlap=overlap_cfg,
                         interpret=interpret,
                     )
             else:
@@ -321,6 +351,22 @@ class SmallStepLoop:
                     # neighbors; v's halo row feeds the next tile's j+1
                     # mass flux.  u's halo lanes self-maintain in-register
                     # (the kernel recomputes them from the fresh mu halo).
+                    if halo_backend == "rdma_overlap" and j_sh:
+                        # the j exchange rides INSIDE the substep kernel,
+                        # overlapped with its interior tiles; only mu's
+                        # lane-axis (i) halo needs a ppermute first
+                        ins = {**const, **state}
+                        if i_sh:
+                            ins["mu"] = halo.refresh_axis(
+                                state["mu"], 1, "i", n_interior=ni_loc)
+                        out = fused_step(
+                            ins, with_tave, "final" if final else "lite",
+                            overlap_cfg={"axis_name": "j",
+                                         "n_interior": nj_loc,
+                                         "collective_id": 7})
+                        if final:
+                            return state, out
+                        return {k: out[k] for k in carry_keys}, out
                     if halo_backend == "rdma" and j_sh:
                         # ONE RDMA launch for every j-halo of the substep
                         # (v consumes only its high halo in the fused

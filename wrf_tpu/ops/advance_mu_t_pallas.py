@@ -114,7 +114,8 @@ def _k_range_mask(K: int, lo: int, hi: int) -> jax.Array:
 def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             fuse_w: bool, use_damp: bool, has_wscale: bool,
             ww_mode: str = "full", lean: bool = False, capture: bool = False,
-            ablate: str = ""):
+            overlap: bool = False, overlap_axis: str = "j",
+            overlap_interpret: bool = False, ablate: str = ""):
     it = iter(refs)
     # --- SMEM scalars ---------------------------------------------------
     scal_ref = next(it)   # (1, 9) f32: rdx..cs2, c_w, g_t, dampc
@@ -169,8 +170,13 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if fuse_w:
         # Thomas coefficients (SMEM, scalar-indexed in the sweeps) and
         # rhs row factors (VMEM) — precomputed by the wrapper from rdn/rdnw
-        aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
+        aw_ref, cpv_ref, denv_ref = next(it), next(it), next(it)
         crdn_ref, erdn_ref = next(it), next(it)
+    if overlap:
+        # pre-staged halo-exchange send payloads (ANY space, lane-padded):
+        # my last-interior mu row (-> next's lo halo), my first-interior
+        # mu row and v row (-> prev's hi halos)
+        sendA_ref, sendB_ref, sendC_ref = next(it), next(it), next(it)
     # --- outputs (TJ, K, I) / (TJ, 1, I) at the slab rows ------------------
     ww_out = next(it) if ww_mode != "lite" else None
     t_out = next(it)
@@ -187,7 +193,11 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # --- scratch -----------------------------------------------------------
     scan_ref = next(it)   # (TJ, K, I) VMEM: in-place ww vertical scan
     if fuse_w:
-        cpw_ref, dpw_ref = next(it), next(it)   # Thomas sweep state
+        dpw_ref = next(it)   # Thomas sweep state (c'/den are hoisted)
+    if overlap:
+        # RDMA landing buffers + the 3 copies' send/recv semaphore pairs
+        recvA_ref, recvB_ref, recvC_ref = next(it), next(it), next(it)
+        sems = next(it)
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, epssm = scal_ref[0, 2], scal_ref[0, 3]
@@ -195,10 +205,23 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     I = t1_ref.shape[2]
 
     # ---- window masks from global coordinates -------------------------
+    # Under ``overlap`` the grid is PERMUTED so the halo-reading edge
+    # tiles run last: grid step g computes tile (g+1) % G — interior
+    # tiles 1..G-2 first, then tile G-1, then tile 0 — giving the
+    # in-flight remote DMA the interior tiles' compute time to land.
+    # Every BlockSpec index map applies the same permutation (_view's
+    # ``perm``), so in-kernel row arithmetic uses ``tile``, not ``g``.
     g = pl.program_id(0)
+    if overlap:
+        n_g = pl.num_programs(0)
+        tile = jax.lax.rem(g + 1, n_g)
+        is_lo_edge = tile == 0
+        is_hi_edge = tile == n_g - 1
+    else:
+        tile = g
     i_glob = jax.lax.broadcasted_iota(jnp.int32, (tj, 1, I), 2) + win_ref[0, 5]
     j_glob = (jax.lax.broadcasted_iota(jnp.int32, (tj, 1, I), 0)
-              + win_ref[0, 4] + 1 + g * tj)
+              + win_ref[0, 4] + 1 + tile * tj)
     i0w, i1w, j0w, j1w = win_ref[0, 0], win_ref[0, 1], win_ref[0, 2], win_ref[0, 3]
     i_in = (i_glob >= i0w) & (i_glob <= i1w)
     j_in = (j_glob >= j0w) & (j_glob <= j1w)
@@ -220,6 +243,55 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             return lo_row
         return jnp.concatenate([lo_row, center[:-1]], axis=0)
 
+    # ---- overlapped halo exchange (make_async_remote_copy) -------------
+    # Start the ring RDMAs at the FIRST grid step (reading the pre-staged
+    # input edge rows, untouched by any output write); the interior tiles
+    # compute while the copies fly; the two edge tiles — scheduled last
+    # by the grid permutation — wait and consume the landed rows from the
+    # VMEM scratch instead of the (stale) HBM halo rows.  Exchange values
+    # are exactly what the exchange-then-compute backends ship, so the
+    # result is BIT-equal to them; only the schedule differs.  Everything
+    # lives within ONE kernel invocation — no cross-invocation semaphore
+    # carry (the variant SCALING.md documents as unsupportable).
+    if overlap:
+        from ..parallel.halo import _ring_ids
+
+        nxt, prv, id_type = _ring_ids(overlap_axis, overlap_interpret)
+        _xfers = ((sendA_ref, recvA_ref, 0, nxt),   # mu lo halo <- prev
+                  (sendB_ref, recvB_ref, 2, prv),   # mu hi halo <- next
+                  (sendC_ref, recvC_ref, 4, prv))   # v  hi halo <- next
+
+        def _rdma(n):
+            src, dst, s, to = _xfers[n]
+            return pltpu.make_async_remote_copy(
+                src_ref=src, dst_ref=dst,
+                send_sem=sems.at[s], recv_sem=sems.at[s + 1],
+                device_id=to, device_id_type=id_type)
+
+        @pl.when(g == 0)
+        def _():
+            if not overlap_interpret:
+                # both neighbors must have entered this invocation (recv
+                # buffers allocated, previous waits drained) before any
+                # remote write — same discipline as halo._rdma_rows
+                barrier = pltpu.get_barrier_semaphore()
+                pltpu.semaphore_signal(barrier, inc=1, device_id=nxt,
+                                       device_id_type=id_type)
+                pltpu.semaphore_signal(barrier, inc=1, device_id=prv,
+                                       device_id_type=id_type)
+                pltpu.semaphore_wait(barrier, 2)
+            for n in range(3):
+                _rdma(n).start()
+
+        @pl.when(is_lo_edge)
+        def _():
+            _rdma(0).wait()      # mu lo halo (from prev) has landed
+
+        @pl.when(is_hi_edge)
+        def _():
+            _rdma(1).wait()      # mu hi halo (from next)
+            _rdma(2).wait()      # v hi halo (from next)
+
     # constant streams may ride HBM as bf16 (see the wrapper's _ingest3);
     # all arithmetic is f32 — upcast on load (free on f32 refs)
     def _ld(ref):
@@ -238,6 +310,11 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     muv_msfvxi = muv_ref[:] * msfvxi_ref[:]           # (TJ, 1, I)
     muv_msfvxi_hi = muv_hi_ref[:] * msfvxi_hi_ref[:]  # (1, 1, I)
     v_hi = _ld(v_hi_ref) if not has_wscale else _ld(v_hi_ref) * scal_ref[0, 4]
+    if overlap:
+        # the high edge tile's v_hi row IS the halo row: take the landed
+        # neighbor row (interior tiles read the scratch too — discarded
+        # by the where — which is benign: VMEM reads never fault)
+        v_hi = jnp.where(is_hi_edge, recvC_ref[:, :, :I], v_hi)
 
     # ---- fused wind substep (advance_uv, ops/advance_uv.py) -----------
     # p = cs2*mu'; u += dts*(muu/msfuy)*(-rdx)*(p - p(i-1));
@@ -246,9 +323,16 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     # every other neighbor the stencils need is reproduced in-register.
     if fuse_uv:
         cs2 = scal_ref[0, 5]
+        mu_lo = mu_lo_ref[:]              # (1, 1, I): row before the slab
+        mu_hi = mu_hi_ref[:]              # (1, 1, I): row after the slab
+        if overlap:
+            # edge tiles' lo/hi rows are the halo rows: use the RDMA'd
+            # neighbor rows (the HBM halo rows are stale mid-scan)
+            mu_lo = jnp.where(is_lo_edge, recvA_ref[:, :, :I], mu_lo)
+            mu_hi = jnp.where(is_hi_edge, recvB_ref[:, :, :I], mu_hi)
         p = cs2 * mu                      # (TJ, 1, I)
-        p_lo = cs2 * mu_lo_ref[:]         # (1, 1, I): row before the slab
-        p_hi = cs2 * mu_hi_ref[:]         # (1, 1, I): row after the slab
+        p_lo = cs2 * mu_lo
+        p_hi = cs2 * mu_hi
         if use_damp:
             # divergence damping: the previous substep's mass-divergence
             # tendency (mudf) stiffens the pressure (ops/advance_uv.py)
@@ -262,7 +346,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         dv = (dts * muv_msfvxi * (-rdy)) * (p - shift_down(p, p_lo))
         u = u + jnp.where(u_mask, du, F(0.0))
         v = v + jnp.where(v_mask, dv, F(0.0))
-        j_hi = win_ref[0, 4] + 1 + (g + 1) * tj
+        j_hi = win_ref[0, 4] + 1 + (tile + 1) * tj
         vhi_mask = i_in[:1] & (j_hi >= j0w + 1) & (j_hi <= j1w)
         dv_hi = (dts * muv_msfvxi_hi * (-rdy)) * (p_hi - p[tj - 1 : tj])
         v_hi = v_hi + jnp.where(vhi_mask, dv_hi, F(0.0))
@@ -407,18 +491,18 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
                        + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
 
-        zrow = jnp.zeros_like(wf[:, :1, :])
-        cpw_ref[:, k0 : k0 + 1, :] = zrow
-        dpw_ref[:, k0 : k0 + 1, :] = zrow
+        dpw_ref[:, k0 : k0 + 1, :] = jnp.zeros_like(wf[:, :1, :])
 
+        # the c'/denominator recurrence is constant across columns and
+        # substeps — hoisted to K-vectors in the wrapper (bit-identical:
+        # same f32 ops in the same order, scalar instead of broadcast);
+        # the forward sweep is one FMA + one divide per level and the
+        # (TJ, K, I) c' scratch is gone
         def w_fwd(k, _):
-            ak = aw_ref[0, k]
-            denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
-            cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
             dpw_ref[:, pl.ds(k, 1), :] = (
                 scan_ref[:, pl.ds(k, 1), :]
-                + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
-            ) / denom
+                + aw_ref[0, k] * dpw_ref[:, pl.ds(k - 1, 1), :]
+            ) / denv_ref[0, k]
             return 0
 
         jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
@@ -427,7 +511,7 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             k = k1 - 1 - m
             dpw_ref[:, pl.ds(k, 1), :] = (
                 dpw_ref[:, pl.ds(k, 1), :]
-                - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
+                - cpv_ref[0, k] * dpw_ref[:, pl.ds(k + 1, 1), :]
             )
             return 0
 
@@ -470,28 +554,36 @@ def _pick_tj(K: int, I: int, budget: int = 15 * 2**20,
     return 1
 
 
-def _view(tj: int, K: int, I: int, shift: int):
-    """All-Element BlockSpec for rows [1+g*tj+shift, +tj)."""
+def _view(tj: int, K: int, I: int, shift: int, perm=None):
+    """All-Element BlockSpec for rows [1+tile*tj+shift, +tj); ``perm``
+    maps the grid step to its tile (identity by default — the overlap
+    mode reorders the grid so the halo-reading edge tiles run LAST,
+    after the in-flight exchange has had the interior tiles' compute
+    time to land)."""
+    f = perm or (lambda g: g)
     return pl.BlockSpec(
         (pl.Element(tj), pl.Element(K), pl.Element(I)),
-        lambda g, s=shift: (1 + g * tj + s, 0, 0),
+        lambda g, s=shift: (1 + f(g) * tj + s, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
 
-def _row_view(tj: int, K: int, I: int, row_shift: int):
-    """Single-row (1, K, I) boundary view at row 1+g*tj+row_shift."""
+def _row_view(tj: int, K: int, I: int, row_shift: int, perm=None):
+    """Single-row (1, K, I) boundary view at row 1+tile*tj+row_shift."""
+    f = perm or (lambda g: g)
     return pl.BlockSpec(
         (pl.Element(1), pl.Element(K), pl.Element(I)),
-        lambda g, s=row_shift: (1 + g * tj + s, 0, 0),
+        lambda g, s=row_shift: (1 + f(g) * tj + s, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
 
-def _compiler_params(vmem_limit: int | None):
+def _compiler_params(vmem_limit: int | None, collective_id: int | None = None):
     """Explicit ``vmem_limit_bytes`` is only set when the caller opted in
     (``vmem_limit`` arg, or the WRF_TPU_VMEM_LIMIT env override; set the
-    env to -1 to force it off everywhere).
+    env to -1 to force it off everywhere).  ``collective_id`` (the
+    overlapped-exchange kernel) additionally marks the kernel
+    side-effecting so its DMAs survive optimization.
 
     Root-cause status (measured on the v5e stack, tools/vmem_probe.py):
     setting ``vmem_limit_bytes`` — at ANY value, including 16 MiB which
@@ -506,9 +598,12 @@ def _compiler_params(vmem_limit: int | None):
     inside the measured-safe region (``sharded_tile_params``), re-mappable
     after a stack change by rerunning the probe."""
     limit = int(os.environ.get("WRF_TPU_VMEM_LIMIT", vmem_limit or 0))
-    if limit <= 0:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+    kw = {}
+    if collective_id is not None:
+        kw = {"collective_id": int(collective_id), "has_side_effects": True}
+    if limit > 0:
+        kw["vmem_limit_bytes"] = limit
+    return pltpu.CompilerParams(**kw) if kw else None
 
 
 def lean_constants(*, ww_1, u_1, v_1, ft, t_1, fnm, fnp, rdnw,
@@ -624,6 +719,9 @@ def advance_mu_t_pallas(
     tj: int | None = None,
     vmem_limit: int | None = None,  # raised scoped-VMEM limit (shard_map only)
     capture: bool = False,          # phase-A *_before_theta debug outputs
+    overlap: dict | None = None,    # in-kernel overlapped j halo exchange:
+                                    # {"axis_name", "n_interior",
+                                    #  "collective_id"} (fuse_uv only)
     interpret: bool = False,
 ):
     """Fused small step; same contract as ``advance_mu_t_core``.
@@ -726,24 +824,14 @@ def advance_mu_t_pallas(
 
     has_wscale = not (isinstance(wind_scale, (int, float)) and wind_scale == 1.0)
     if fuse_w:
-        # Thomas coefficients, FP association matching advance_w_numpy
-        dts_f = jnp.asarray(dts, F)
-        epssm_f = jnp.asarray(epssm, F)
-        c_w = jnp.asarray(cw, F) * dts_f
-        g_t = dts_f * jnp.asarray(gw, F)
-        beta_h = jnp.float32(0.5) * (jnp.float32(1.0) + epssm_f)
-        alfa_h = jnp.float32(1.0) - beta_h
-        cb = c_w * beta_h
-        rdn_a = jnp.asarray(rdn, F)
-        rdnw_a = jnp.asarray(rdnw, F)
-        kv = jnp.arange(K)
-        kintv = (kv > k0) & (kv <= k1)
-        a_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * jnp.roll(rdnw_a, 1),
-                          jnp.float32(0.0))
-        b_vec = jnp.where(kintv, ((cb * cb) * rdn_a) * rdnw_a, jnp.float32(0.0))
-        diag_vec = (jnp.float32(1.0) + a_vec) + b_vec
-        crdn_vec = c_w * rdn_a
-        erdn_vec = ((c_w * beta_h) * (c_w * alfa_h)) * rdn_a
+        # Thomas coefficients, FP association matching advance_w_numpy;
+        # the c'/denominator recurrence is hoisted to K-vectors (shared
+        # with the blocked kernels — ops/advance_mu_t_msteps.py)
+        from .advance_mu_t_msteps import _thomas_coeffs
+
+        (c_w, g_t, a_vec, cp_vec, den_vec, crdn_vec,
+         erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
+                                    K, k0, k1)
     else:
         c_w = g_t = 0.0
     use_damp = fuse_uv and mudf_in is not None and smdiv != 0.0
@@ -756,16 +844,37 @@ def advance_mu_t_pallas(
     win = jnp.stack([jnp.asarray(x, jnp.int32)
                      for x in (i0, i1, j0, j1, j_off, i_off)])[None, :]
 
-    c3 = _view(tj, K, I, 0)
-    c2 = _view(tj, 1, I, 0)
-    r3 = functools.partial(_row_view, tj, K, I)
-    r2 = functools.partial(_row_view, tj, 1, I)
+    grid_n = (Jp - 2) // tj
+    if overlap is not None:
+        # the in-kernel exchange substitutes the RDMA'd neighbor rows at
+        # the mu_lo/mu_hi/v_hi ROW VIEWS of the two edge tiles; that is
+        # exact only when the halo rows are never ALSO covered by a
+        # center view — i.e. no alignment padding (tj | n_interior) and
+        # the fused-wind row views present (fuse_uv)
+        if not fuse_uv:
+            raise ValueError("overlap requires fuse_uv (the coupled "
+                             "substep; the mu_t-only loop has no per-"
+                             "substep exchange to hide)")
+        if use_damp:
+            raise ValueError("overlap does not cover mudf halos yet "
+                             "(divergence damping)")
+        if padj:
+            raise ValueError(
+                f"overlap requires tj | (J-2): tj={tj}, J-2={J - 2} "
+                "(pick tj a divisor of the local row count)")
+        perm = lambda g: (g + 1) % grid_n  # noqa: E731 — edge tiles last
+    else:
+        perm = None
+
+    c3 = _view(tj, K, I, 0, perm)
+    c2 = _view(tj, 1, I, 0, perm)
+    r3 = functools.partial(_row_view, tj, K, I, perm=perm)
+    r2 = functools.partial(_row_view, tj, 1, I, perm=perm)
     sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
     ssc = pl.BlockSpec((1, 9), lambda g: (0, 0), memory_space=pltpu.SMEM)
     swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
     n3 = len(f3)
-    grid_n = (Jp - 2) // tj
     # v_hi: under fuse_uv, v is donated (aliased onto v_out), and XLA would
     # defensively COPY the whole field every call if it also appeared as a
     # second (row-view) operand.  Feed the hi rows from a strided gather of
@@ -773,7 +882,8 @@ def advance_mu_t_pallas(
     # sees the identical (1, K, I) block and the copy disappears.
     if fuse_uv:
         v_hi_arr = d3["v"][1 + tj :: tj][:grid_n]
-        v_hi_spec = pl.BlockSpec((1, K, I), lambda g: (g, 0, 0),
+        _pf = perm or (lambda g: g)
+        v_hi_spec = pl.BlockSpec((1, K, I), lambda g: (_pf(g), 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         v_hi_arr = d3["v"]
@@ -829,8 +939,25 @@ def advance_mu_t_pallas(
                  msfuy3, msfvxi3, msftx3, msfty3,
                  muv3, msfvxi3, *kvecs]
     if fuse_w:
-        operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
+        operands += [a_vec[None, :], cp_vec[None, :], den_vec[None, :],
                      crdn_vec[None, :], erdn_vec[None, :]]
+    if overlap is not None:
+        # pre-staged send payloads: the INPUT edge rows the sequential
+        # backends would exchange before the kernel — lane-padded to 128
+        # so the whole-buffer remote copies satisfy Mosaic's DMA layout
+        # constraints (halo.remote_refresh_axis's layout note)
+        n_int = int(overlap["n_interior"])
+        Ipad = -(-I // 128) * 128
+
+        def _lanepad(x):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, Ipad - I)))
+
+        send_next_mu = _lanepad(mu3[n_int : n_int + 1])   # -> next's lo
+        send_prev_mu = _lanepad(mu3[1:2])                 # -> prev's hi
+        send_prev_v = _lanepad(d3["v"][1:2])              # -> prev's hi
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs += [any_spec, any_spec, any_spec]
+        operands += [send_next_mu, send_prev_mu, send_prev_v]
 
     big = jax.ShapeDtypeStruct((Jp, K, I), F)
     thin = jax.ShapeDtypeStruct((Jp, 1, I), F)
@@ -888,21 +1015,35 @@ def advance_mu_t_pallas(
         aliases[2 + n3] = oidx["w"]
         aliases[2 + n3 + 1] = oidx["pp"]
 
-    kernel = functools.partial(_kernel, k0=k0, k1=k1, tj=tj,
-                               fuse_uv=fuse_uv, with_tave=with_tave,
-                               fuse_w=fuse_w, use_damp=use_damp,
-                               has_wscale=has_wscale, ww_mode=ww_mode,
-                               lean=lean, capture=capture,
-                               ablate=ablate_from_env())
+    kernel = functools.partial(
+        _kernel, k0=k0, k1=k1, tj=tj,
+        fuse_uv=fuse_uv, with_tave=with_tave,
+        fuse_w=fuse_w, use_damp=use_damp,
+        has_wscale=has_wscale, ww_mode=ww_mode,
+        lean=lean, capture=capture,
+        overlap=overlap is not None,
+        overlap_axis=(overlap or {}).get("axis_name", "j"),
+        overlap_interpret=interpret,
+        ablate=ablate_from_env())
+    scratch = [pltpu.VMEM((tj, K, I), F)] * (2 if fuse_w else 1)
+    if overlap is not None:
+        scratch += [pltpu.VMEM((1, 1, Ipad), F),   # recv A: mu lo halo
+                    pltpu.VMEM((1, 1, Ipad), F),   # recv B: mu hi halo
+                    pltpu.VMEM((1, K, Ipad), F),   # recv C: v hi halo
+                    pltpu.SemaphoreType.DMA((6,))]
     outs = pl.pallas_call(
         kernel,
         grid=(grid_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (3 if fuse_w else 1),
+        scratch_shapes=scratch,
         input_output_aliases=aliases,
-        compiler_params=_compiler_params(vmem_limit),
+        compiler_params=_compiler_params(
+            vmem_limit,
+            collective_id=(None if overlap is None
+                           else overlap.get("collective_id", 7)),
+        ),
         interpret=interpret,
     )(*operands)
 
