@@ -182,6 +182,26 @@ def _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw, K, k0, k1):
     return c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec, erdn_vec
 
 
+def _thomas_hoisted(a_vec, b_vec, diag_vec):
+    """Hoist the Thomas forward-elimination c'/denominator recurrence —
+    constant across columns and substeps — to K-vectors:
+    ``den_k = diag_k + a_k * c'_{k-1}``, ``c'_k = -b_k / den_k`` with
+    ``c'`` seeded at 0, the same f32 ops in the same order the in-kernel
+    per-column recurrence performs (scalar instead of broadcast, so the
+    hoist is value-preserving).  Outside the interior band ``a = b = 0``
+    and ``diag = 1``, so ``den = 1`` / ``c' = 0`` fall out without
+    masking (and the kernel never indexes those levels anyway)."""
+    def step(cp_prev, abd):
+        a_k, b_k, d_k = abd
+        den = d_k + a_k * cp_prev
+        cp = -b_k / den
+        return cp, (cp, den)
+
+    _, (cp_vec, den_vec) = jax.lax.scan(
+        step, jnp.float32(0.0), (a_vec, b_vec, diag_vec))
+    return cp_vec, den_vec
+
+
 def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
             has_wscale: bool, fast: bool = False, ablate: str = ""):
     it = iter(refs)

@@ -827,11 +827,12 @@ def advance_mu_t_pallas(
         # Thomas coefficients, FP association matching advance_w_numpy;
         # the c'/denominator recurrence is hoisted to K-vectors (shared
         # with the blocked kernels — ops/advance_mu_t_msteps.py)
-        from .advance_mu_t_msteps import _thomas_coeffs
+        from .advance_mu_t_msteps import _thomas_coeffs, _thomas_hoisted
 
-        (c_w, g_t, a_vec, cp_vec, den_vec, crdn_vec,
+        (c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec,
          erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
                                     K, k0, k1)
+        cp_vec, den_vec = _thomas_hoisted(a_vec, b_vec, diag_vec)
     else:
         c_w = g_t = 0.0
     use_damp = fuse_uv and mudf_in is not None and smdiv != 0.0
