@@ -101,33 +101,34 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
     return ww_scan, theta
 
 
-def _w_solver(*, scan_ref, cpw_ref, dpw_ref, aw_ref, bw_ref, dgw_ref,
+def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
               crdn_ref, erdn_ref, roll_k, kmask_upd, kmask_w, mask_c,
               rdnw3, K, k0, k1, epssm, c_w, g_t):
     """w_step: the fused vertically-implicit w/pp substep — column-local
     Thomas solve, pointwise in (i, j), identical to the single-step
     kernel's fuse_w block (advance_mu_t_pallas._kernel); ``scan_ref``
-    doubles as rhs storage (its ww values are already consumed)."""
+    doubles as rhs storage (its ww values are already consumed).  The
+    c'/denominator elimination recurrence is constant across columns and
+    substeps — hoisted to K-vectors by the wrappers (_thomas_hoisted,
+    value-preserving), so the forward sweep is one FMA + one divide per
+    level and there is no (tj, K, I) c' scratch."""
     beta = F(0.5) * (F(1.0) + epssm)
     alfa = F(1.0) - beta
     crdn = crdn_ref[:].reshape(1, K, 1)
     erdn = erdn_ref[:].reshape(1, K, 1)
 
     def w_fwd(k, _):
-        ak = aw_ref[0, k]
-        denom = dgw_ref[0, k] + ak * cpw_ref[:, pl.ds(k - 1, 1), :]
-        cpw_ref[:, pl.ds(k, 1), :] = -bw_ref[0, k] / denom
         dpw_ref[:, pl.ds(k, 1), :] = (
             scan_ref[:, pl.ds(k, 1), :]
-            + ak * dpw_ref[:, pl.ds(k - 1, 1), :]
-        ) / denom
+            + aw_ref[0, k] * dpw_ref[:, pl.ds(k - 1, 1), :]
+        ) / denv_ref[0, k]
         return 0
 
     def w_bwd(m, _):
         k = k1 - 1 - m
         dpw_ref[:, pl.ds(k, 1), :] = (
             dpw_ref[:, pl.ds(k, 1), :]
-            - cpw_ref[:, pl.ds(k, 1), :] * dpw_ref[:, pl.ds(k + 1, 1), :]
+            - cpv_ref[0, k] * dpw_ref[:, pl.ds(k + 1, 1), :]
         )
         return 0
 
@@ -137,9 +138,7 @@ def _w_solver(*, scan_ref, cpw_ref, dpw_ref, aw_ref, bw_ref, dgw_ref,
                         rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
         scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
                        + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
-        zrow = jnp.zeros_like(wf[:, :1, :])
-        cpw_ref[:, k0 : k0 + 1, :] = zrow
-        dpw_ref[:, k0 : k0 + 1, :] = zrow
+        dpw_ref[:, k0 : k0 + 1, :] = jnp.zeros_like(wf[:, :1, :])
         jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
         jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
         w_sol = dpw_ref[:]
@@ -638,7 +637,7 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
         next(it))
     dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
     if fuse_w:
-        aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
+        aw_ref, cpv_ref, denv_ref = next(it), next(it), next(it)
         crdn_ref, erdn_ref = next(it), next(it)
     t_out, u_out, v_out, mu_out, wwrow_out = (
         next(it), next(it), next(it), next(it), next(it))
@@ -646,7 +645,7 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
         w_out, pp_out = next(it), next(it)
     scan_ref = next(it)
     if fuse_w:
-        cpw_ref, dpw_ref = next(it), next(it)   # Thomas sweep state
+        dpw_ref = next(it)   # Thomas sweep state
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
@@ -729,8 +728,8 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
 
     if fuse_w:
         w_step = _w_solver(
-            scan_ref=scan_ref, cpw_ref=cpw_ref, dpw_ref=dpw_ref,
-            aw_ref=aw_ref, bw_ref=bw_ref, dgw_ref=dgw_ref,
+            scan_ref=scan_ref, dpw_ref=dpw_ref,
+            aw_ref=aw_ref, cpv_ref=cpv_ref, denv_ref=denv_ref,
             crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
             kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
@@ -881,6 +880,7 @@ def coupled_two_step_pallas(
         (c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec,
          erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
                                     K, k0, k1)
+        cp_vec, den_vec = _thomas_hoisted(a_vec, b_vec, diag_vec)
     else:
         c_w = g_t = 0.0
 
@@ -930,7 +930,7 @@ def coupled_two_step_pallas(
                  f2["cu"], f2["cu"], f2["cv"], f2["cv"], f2["cv"]]
     operands += kvecs
     if fuse_w:
-        operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
+        operands += [a_vec[None, :], cp_vec[None, :], den_vec[None, :],
                      crdn_vec[None, :], erdn_vec[None, :]]
 
     big = jax.ShapeDtypeStruct((J2, K, I), F)
@@ -957,7 +957,7 @@ def coupled_two_step_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (3 if fuse_w else 1),
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (2 if fuse_w else 1),
         input_output_aliases=aliases,
         compiler_params=_compiler_params(vmem_limit),
         interpret=interpret,
@@ -1023,7 +1023,7 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         next(it), next(it), next(it))
     dnw_ref, fnm_ref, fnp_ref, rdnw_ref = next(it), next(it), next(it), next(it)
     if fuse_w:
-        aw_ref, bw_ref, dgw_ref = next(it), next(it), next(it)
+        aw_ref, cpv_ref, denv_ref = next(it), next(it), next(it)
         crdn_ref, erdn_ref = next(it), next(it)
     t_out, u_out, v_out, mu_out, wwrow_out = (
         next(it), next(it), next(it), next(it), next(it))
@@ -1031,7 +1031,7 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         w_out, pp_out = next(it), next(it)
     scan_ref = next(it)
     if fuse_w:
-        cpw_ref, dpw_ref = next(it), next(it)
+        dpw_ref = next(it)
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
@@ -1110,8 +1110,8 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
 
     if fuse_w:
         w_step = _w_solver(
-            scan_ref=scan_ref, cpw_ref=cpw_ref, dpw_ref=dpw_ref,
-            aw_ref=aw_ref, bw_ref=bw_ref, dgw_ref=dgw_ref,
+            scan_ref=scan_ref, dpw_ref=dpw_ref,
+            aw_ref=aw_ref, cpv_ref=cpv_ref, denv_ref=denv_ref,
             crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
             kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
@@ -1229,6 +1229,7 @@ def coupled_multistep_pallas(
         (c_w, g_t, a_vec, b_vec, diag_vec, crdn_vec,
          erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
                                     K, k0, k1)
+        cp_vec, den_vec = _thomas_hoisted(a_vec, b_vec, diag_vec)
     else:
         c_w = g_t = 0.0
 
@@ -1283,7 +1284,7 @@ def coupled_multistep_pallas(
     operands += [f2[n] for n in f2names]
     operands += kvecs
     if fuse_w:
-        operands += [a_vec[None, :], b_vec[None, :], diag_vec[None, :],
+        operands += [a_vec[None, :], cp_vec[None, :], den_vec[None, :],
                      crdn_vec[None, :], erdn_vec[None, :]]
 
     big = jax.ShapeDtypeStruct((J2, K, I), F)
@@ -1309,7 +1310,7 @@ def coupled_multistep_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (3 if fuse_w else 1),
+        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (2 if fuse_w else 1),
         input_output_aliases=aliases,
         compiler_params=_compiler_params(vmem_limit),
         interpret=interpret,
