@@ -98,6 +98,12 @@ SPECS = [
      True, False, False, 4, (50, 250), 12),
     ("coupled+w 512x512x50", 512, 512, 50,
      True, True, False, 4, (50, 250), 8),
+    # log-depth (scaled-cumsum) Thomas solve + re-associated ww cumsum —
+    # the fast tolerance class (few-ulp/substep vs the exact sweeps,
+    # tests/test_msteps.py::test_blocked_fast_w_solve); unlike the
+    # mu_t closed form this is real per-substep work, but labeled fast
+    ("coupled+w 512x512x50 fast S=4", 512, 512, 50,
+     True, True, False, "4f", (50, 250), 8),
     ("coupled CONUS 1500x1500x50",
      1500, 1500, 50, True, False, False, 4, (20, 80), 4),
     # opt-in reduced-precision constant streams (state/outputs f32)

@@ -321,6 +321,39 @@ def test_coupled_blocked_with_w():
             err_msg=name)
 
 
+def test_blocked_fast_w_solve():
+    """The log-depth (scaled-cumsum) Thomas solve under ``fast`` is
+    tolerance-equal to the exact sequential sweeps: both Thomas sweeps
+    are affine recurrences with level-constant coefficients, hoisted to
+    P/M product scalings (ops/advance_mu_t_msteps._thomas_fast_vectors);
+    absolute error is a few ulp of the dominant rhs scale per substep.
+    Gate: the same fp32-tier tolerance every blocked path is held to."""
+    nx, ny, nz = 40, 30, 12
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
+    exact = _run_coupled(case, nx, ny, nz, 8, 4, with_w=True)
+    fast = _run_coupled(case, nx, ny, nz, 8, 4, with_w=True, fast=True)
+    assert set(exact) == set(fast) and "w" in fast and "pp" in fast
+    # the fast solver must actually have engaged
+    assert any(not np.array_equal(np.asarray(exact[k]), np.asarray(fast[k]))
+               for k in ("w", "pp"))
+    for k in sorted(exact):
+        a, b = np.asarray(exact[k]), np.asarray(fast[k])
+        assert np.isfinite(b).all(), k
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+    # the hand-unrolled S=2 pair kernel shares _w_solver but has its own
+    # operand wiring — cover it too
+    exact2 = _run_coupled(case, nx, ny, nz, 8, 2, with_w=True)
+    fast2 = _run_coupled(case, nx, ny, nz, 8, 2, with_w=True, fast=True)
+    for k in sorted(exact2):
+        a, b = np.asarray(exact2[k]), np.asarray(fast2[k])
+        assert np.isfinite(b).all(), k
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
 def test_blocked_fast_mode():
     """fast mode (affine-hoisted: per-pass ww cumsums of the constant and
     wind-proportional parts, per-substep theta increment G0+s*G1+ws*G2)

@@ -103,7 +103,9 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
 
 def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
               crdn_ref, erdn_ref, roll_k, kmask_upd, kmask_w, mask_c,
-              rdnw3, K, k0, k1, epssm, c_w, g_t):
+              rdnw3, K, k0, k1, epssm, c_w, g_t,
+              fast_solve=False, fws_ref=None, fwp_ref=None,
+              bws_ref=None, bwp_ref=None):
     """w_step: the fused vertically-implicit w/pp substep — column-local
     Thomas solve, pointwise in (i, j), identical to the single-step
     kernel's fuse_w block (advance_mu_t_pallas._kernel); ``scan_ref``
@@ -111,11 +113,45 @@ def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
     c'/denominator elimination recurrence is constant across columns and
     substeps — hoisted to K-vectors by the wrappers (_thomas_hoisted,
     value-preserving), so the forward sweep is one FMA + one divide per
-    level and there is no (tj, K, I) c' scratch."""
+    level and there is no (tj, K, I) c' scratch.
+
+    ``fast_solve`` (the ``fast`` tolerance class, like the re-associated
+    ww cumsum): both Thomas sweeps are first-order affine recurrences
+    with LEVEL-CONSTANT coefficients, so each collapses to a scaled
+    masked log-depth cumsum — dpw[k] = P_k * sum_{j<=k} rhs_j/(den_j P_j)
+    with P_k the cumulative product of a_k/den_k (and the mirrored form
+    for the back-substitution).  The scale vectors (fws = 1/(den P),
+    fwp = P, bws = 1/M, bwp = M) are hoisted host-side
+    (_thomas_fast_vectors); the two 100-iteration sequential row sweeps
+    become ~2 log2(K) full-block VPU ops.  Absolute error is a few ulp
+    of the dominant rhs scale (contributions of level j on level k carry
+    weight P_k/P_j <= 1, so the scaling never amplifies)."""
     beta = F(0.5) * (F(1.0) + epssm)
     alfa = F(1.0) - beta
     crdn = crdn_ref[:].reshape(1, K, 1)
     erdn = erdn_ref[:].reshape(1, K, 1)
+    if fast_solve:
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+        fws = fws_ref[:].reshape(1, K, 1)
+        fwp = fwp_ref[:].reshape(1, K, 1)
+        bws = bws_ref[:].reshape(1, K, 1)
+        bwp = bwp_ref[:].reshape(1, K, 1)
+
+        def cumsum_incl(x):          # y[k] = sum_{j<=k} x[j]
+            y = x
+            d = 1
+            while d < K:
+                y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
+                d *= 2
+            return y
+
+        def revcumsum_incl(x):       # y[k] = sum_{j>=k} x[j]
+            y = x
+            d = 1
+            while d < K:
+                y = y + jnp.where(kiota < K - d, roll_k(y, -d), F(0.0))
+                d *= 2
+            return y
 
     def w_fwd(k, _):
         dpw_ref[:, pl.ds(k, 1), :] = (
@@ -136,12 +172,20 @@ def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
         w_act = jnp.where(kmask_w, wf, F(0.0))
         dvz = jnp.where(kmask_upd,
                         rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
-        scan_ref[:] = (wf - crdn * (ppf - roll_k(ppf, 1))
-                       + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
-        dpw_ref[:, k0 : k0 + 1, :] = jnp.zeros_like(wf[:, :1, :])
-        jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
-        jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
-        w_sol = dpw_ref[:]
+        rhs = (wf - crdn * (ppf - roll_k(ppf, 1))
+               + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
+        if fast_solve:
+            # scale vectors are zero outside the interior band, so the
+            # cumsums see only band levels; w_sol outside the band is 0
+            # and masked away below
+            dpw_val = fwp * cumsum_incl(rhs * fws)
+            w_sol = bwp * revcumsum_incl(dpw_val * bws)
+        else:
+            scan_ref[:] = rhs
+            dpw_ref[:, k0 : k0 + 1, :] = jnp.zeros_like(wf[:, :1, :])
+            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+            w_sol = dpw_ref[:]
         w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
         wn_act = jnp.where(kmask_w, w_sol, F(0.0))
         dvz_new = jnp.where(kmask_upd,
@@ -199,6 +243,32 @@ def _thomas_hoisted(a_vec, b_vec, diag_vec):
     _, (cp_vec, den_vec) = jax.lax.scan(
         step, jnp.float32(0.0), (a_vec, b_vec, diag_vec))
     return cp_vec, den_vec
+
+
+def _thomas_fast_vectors(a_vec, cp_vec, den_vec, K, k0, k1):
+    """Scale vectors for the log-depth (``fast``) Thomas solve — see
+    ``_w_solver``.  Forward: dpw[k] = P_k * cumsum(rhs/(den P)) with
+    P_k = prod of alpha = a/den over the interior band; backward:
+    w[k] = M_k * revcumsum(dpw/M) with M_k = prod of (-c') from k up to
+    the band top.  Both alpha and -c' are < 1 in magnitude (diagonal
+    dominance), so P/M decay geometrically — at K = 50 and alpha ~ 0.75
+    the smallest P is ~5e-20, comfortably inside f32; beyond K ~ 120
+    interior levels the products would leave f32 range and the exact
+    sequential solve must be used instead (documented constraint; the
+    NaN tripwires catch a violation immediately)."""
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    kv = jnp.arange(K)
+    band = (kv > k0) & (kv <= k1)
+    alpha = jnp.where(band, a_vec / den_vec, one)
+    P = jnp.cumprod(alpha)
+    fws = jnp.where(band, one / (den_vec * P), zero)
+    fwp = jnp.where(band, P, zero)
+    mm = jnp.where((kv > k0) & (kv < k1), -cp_vec, one)
+    M = jnp.cumprod(mm[::-1])[::-1]
+    bws = jnp.where(band, one / M, zero)
+    bwp = jnp.where(band, M, zero)
+    return fws, fwp, bws, bwp
 
 
 def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
@@ -639,6 +709,11 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
     if fuse_w:
         aw_ref, cpv_ref, denv_ref = next(it), next(it), next(it)
         crdn_ref, erdn_ref = next(it), next(it)
+        if fast_scan:
+            fws_ref, fwp_ref, bws_ref, bwp_ref = (
+                next(it), next(it), next(it), next(it))
+        else:
+            fws_ref = fwp_ref = bws_ref = bwp_ref = None
     t_out, u_out, v_out, mu_out, wwrow_out = (
         next(it), next(it), next(it), next(it), next(it))
     if fuse_w:
@@ -733,7 +808,9 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
             crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
             kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
-            c_w=scal_ref[0, 5], g_t=scal_ref[0, 6])
+            c_w=scal_ref[0, 5], g_t=scal_ref[0, 6],
+            fast_solve=fast_scan, fws_ref=fws_ref, fwp_ref=fwp_ref,
+            bws_ref=bws_ref, bwp_ref=bwp_ref)
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
@@ -881,6 +958,8 @@ def coupled_two_step_pallas(
          erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
                                     K, k0, k1)
         cp_vec, den_vec = _thomas_hoisted(a_vec, b_vec, diag_vec)
+        if fast:
+            fastw = _thomas_fast_vectors(a_vec, cp_vec, den_vec, K, k0, k1)
     else:
         c_w = g_t = 0.0
 
@@ -917,7 +996,9 @@ def coupled_two_step_pallas(
                  r2(LO), r2(HI), r2(LO), r2(HI), r2(HI2)]
     in_specs += [sk] * 4
     if fuse_w:
-        in_specs += [smk, smk, smk, sk, sk]           # a, b, diag, crdn, erdn
+        in_specs += [smk, smk, smk, sk, sk]     # a, c', den, crdn, erdn
+        if fast:
+            in_specs += [sk] * 4                # fws, fwp, bws, bwp
 
     operands = [scal, win, *f3]
     if fuse_w:
@@ -932,6 +1013,8 @@ def coupled_two_step_pallas(
     if fuse_w:
         operands += [a_vec[None, :], cp_vec[None, :], den_vec[None, :],
                      crdn_vec[None, :], erdn_vec[None, :]]
+        if fast:
+            operands += [v[None, :] for v in fastw]
 
     big = jax.ShapeDtypeStruct((J2, K, I), F)
     thin = jax.ShapeDtypeStruct((J2, 1, I), F)
@@ -1025,6 +1108,11 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     if fuse_w:
         aw_ref, cpv_ref, denv_ref = next(it), next(it), next(it)
         crdn_ref, erdn_ref = next(it), next(it)
+        if fast_scan:
+            fws_ref, fwp_ref, bws_ref, bwp_ref = (
+                next(it), next(it), next(it), next(it))
+        else:
+            fws_ref = fwp_ref = bws_ref = bwp_ref = None
     t_out, u_out, v_out, mu_out, wwrow_out = (
         next(it), next(it), next(it), next(it), next(it))
     if fuse_w:
@@ -1115,7 +1203,9 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
             crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
             kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
-            c_w=scal_ref[0, 5], g_t=scal_ref[0, 6])
+            c_w=scal_ref[0, 5], g_t=scal_ref[0, 6],
+            fast_solve=fast_scan, fws_ref=fws_ref, fwp_ref=fwp_ref,
+            bws_ref=bws_ref, bwp_ref=bwp_ref)
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
@@ -1230,6 +1320,8 @@ def coupled_multistep_pallas(
          erdn_vec) = _thomas_coeffs(rdn, rdnw, dts, epssm, cw, gw,
                                     K, k0, k1)
         cp_vec, den_vec = _thomas_hoisted(a_vec, b_vec, diag_vec)
+        if fast:
+            fastw = _thomas_fast_vectors(a_vec, cp_vec, den_vec, K, k0, k1)
     else:
         c_w = g_t = 0.0
 
@@ -1276,6 +1368,8 @@ def coupled_multistep_pallas(
     in_specs += [sk] * 4
     if fuse_w:
         in_specs += [smk, smk, smk, sk, sk]
+        if fast:
+            in_specs += [sk] * 4                # fws, fwp, bws, bwp
 
     operands = [scal, win, d3["u"], d3["v"], d3["t"], d3["t_1"],
                 d3["tconst"], d3["dvdxi_const"]]
@@ -1286,6 +1380,8 @@ def coupled_multistep_pallas(
     if fuse_w:
         operands += [a_vec[None, :], cp_vec[None, :], den_vec[None, :],
                      crdn_vec[None, :], erdn_vec[None, :]]
+        if fast:
+            operands += [v_[None, :] for v_ in fastw]
 
     big = jax.ShapeDtypeStruct((J2, K, I), F)
     thin = jax.ShapeDtypeStruct((J2, 1, I), F)
