@@ -57,6 +57,7 @@ under best-of-12).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -252,7 +253,7 @@ def _bandwidth_fields(nx, ny, nz, *, coupled, with_w, bf16, S, tj,
     return out
 
 
-def _emit(records, copy_gbps=None):
+def _emit(records, copy_gbps=None, detail_path=None):
     # headline = THE config the metric string names (the exact blocked
     # loop — bit-equal numerics, real throughput), never a different
     # row; if it errored/was skipped, the headline reads value 0 with
@@ -267,22 +268,43 @@ def _emit(records, copy_gbps=None):
                                                         "missing"))}
     if copy_gbps is not None:
         extra["copy_ceiling_gb_per_s"] = round(copy_gbps, 1)
-    print(
-        json.dumps(
-            {
-                "metric": "advance_mu_t grid-points/s/chip "
-                          "(512x512x50, exact blocked device-resident "
-                          "loop, S=8 bit-equal)",
-                "value": head.get("gpts_per_s", 0),
-                "unit": "grid-points/s",
-                "vs_baseline": head.get("vs_baseline", 0),
-                "ms_per_step": head.get("ms_per_step", 0),
-                **extra,
-                "configs": records,
-            }
-        ),
-        flush=True,
-    )
+    full = {
+        "metric": "advance_mu_t grid-points/s/chip "
+                  "(512x512x50, exact blocked device-resident "
+                  "loop, S=8 bit-equal)",
+        "value": head.get("gpts_per_s", 0),
+        "unit": "grid-points/s",
+        "vs_baseline": head.get("vs_baseline", 0),
+        "ms_per_step": head.get("ms_per_step", 0),
+        **extra,
+        "configs": records,
+    }
+    # Output protocol (round-3 telemetry regression, VERDICT r03 Weak #1):
+    # the driver keeps a bounded TAIL of stdout, and the r03 full-matrix
+    # line outgrew it — the headline was cut off mid-record and the
+    # round's record parsed as null.  So: the verbose full-matrix record
+    # goes to a side file (BENCH_DETAIL.json, committed) and to stdout
+    # FIRST; the LAST line printed is a short headline-only record —
+    # bounded at ~1.5 KB by carrying only (config, ms, vs_baseline)
+    # triples — so any tail capture ends with one complete, parseable
+    # JSON line directly comparable to the r01/r02 exact rows.
+    if detail_path:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
+    print(json.dumps(full), flush=True)
+    rows = [[r.get("config", "?"), r.get("ms_per_step"),
+             r.get("vs_baseline")]
+            for r in records if not r.get("error") and not r.get("skipped")]
+    short = {k: full[k] for k in
+             ("metric", "value", "unit", "vs_baseline", "ms_per_step")}
+    short.update(extra)
+    short["rows"] = rows
+    short["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(short), flush=True)
 
 
 def main():
@@ -297,10 +319,12 @@ def main():
     # SIGTERM, and stop starting new configs past the time budget
     records = []
     copy_gbps = None
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_DETAIL.json")
 
     def _on_term(signum, frame):
         records.append({"config": "(killed)", "error": f"signal {signum}"})
-        _emit(records, copy_gbps)
+        _emit(records, copy_gbps, detail_path=detail)
         # partial-but-valid: the headline row runs first, so a kill
         # after it should not read as a failed bench
         got_head = any(r.get("config") == HEADLINE
@@ -355,7 +379,7 @@ def main():
             records.append({"config": name,
                             "error": f"{type(e).__name__}: {e}"[:300]})
 
-    _emit(records, copy_gbps)
+    _emit(records, copy_gbps, detail_path=detail)
 
 
 if __name__ == "__main__":

@@ -130,8 +130,12 @@ def loop_with_w_vs_golden(case, mesh_shape, steps, kernel, **tol):
     outputs_allclose(got, gold, **tol)
 
 
-@pytest.mark.parametrize("kernel", ["xla", "pallas"])
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 1)])
+@pytest.mark.parametrize("mesh_shape,kernel", [
+    ((4, 2), "pallas"),   # the production kernel, sharded: quick
+    ((1, 1), "xla"),      # the cross-check kernel, single: quick
+    pytest.param((4, 2), "xla", marks=pytest.mark.full),
+    pytest.param((1, 1), "pallas", marks=pytest.mark.full),
+])
 def test_coupled_loop_with_w(small_case, mesh_shape, kernel):
     """Full coupled loop (uv + mu/t + implicit w) reassembles to the golden
     loop across mesh decompositions."""
@@ -139,6 +143,7 @@ def test_coupled_loop_with_w(small_case, mesh_shape, kernel):
                           rtol=5e-5, atol_scale=2e-6)
 
 
+@pytest.mark.full
 def test_coupled_loop_with_w_100_steps(small_case):
     loop_with_w_vs_golden(small_case, (2, 4), steps=100, kernel="pallas",
                           rtol=2e-4, atol_scale=2e-5)

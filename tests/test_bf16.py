@@ -31,7 +31,7 @@ def case():
 
 
 @pytest.mark.parametrize("cls,kw", [
-    (SmallStepLoop, {}),
+    pytest.param(SmallStepLoop, {}, marks=pytest.mark.full),
     pytest.param(SmallStepLoop, {"with_w": True},
                  marks=pytest.mark.full),
     (ShardedAdvanceMuT, {"vary_winds": True}),

@@ -93,7 +93,12 @@ def _run(backend, ny, nx, K, n_sh, tj, seed=3):
     return {n: np.asarray(v) for n, v in jax.jit(fn)(g).items()}
 
 
-@pytest.mark.parametrize("n_sh,tj", [(4, 3), (4, 2), (2, 6), (4, 6)])
+@pytest.mark.parametrize("n_sh,tj", [
+    (4, 3),
+    pytest.param(4, 2, marks=pytest.mark.full),
+    (2, 6),
+    pytest.param(4, 6, marks=pytest.mark.full),
+])
 def test_overlap_bit_equal_to_ppermute(n_sh, tj):
     """tj=6 makes G=1 (edge tiles ARE the only tile); tj=3 G=2 (no
     interior tile); tj=2 G=3 (one interior tile between the edges)."""

@@ -41,6 +41,7 @@ def test_run_sim_smoke(tmp_path, small_case, capsys):
     assert (tmp_path / "trace").exists()
 
 
+@pytest.mark.full
 def test_run_sim_namelist(tmp_path, small_case, capsys):
     d = _fixture(tmp_path, small_case)
     nml = tmp_path / "nml.json"

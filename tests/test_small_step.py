@@ -67,7 +67,11 @@ def sharded_loop_vs_golden(case, mesh_shape, steps, kernel="xla", **tol):
 
 
 @pytest.mark.parametrize("kernel", ["xla", "pallas"])
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 1)])
+@pytest.mark.parametrize("mesh_shape", [
+    (4, 2),
+    pytest.param((2, 4), marks=pytest.mark.full),
+    (1, 1),
+])
 def test_small_step_loop_matches_golden(small_case, mesh_shape, kernel):
     """The full acoustic loop with per-substep halo exchange of mu/u/v
     reassembles to the golden loop — this is what validates the in-scan
@@ -185,6 +189,7 @@ def test_native_uv_damping_bitwise(small_case):
     assert (ug == uc).all() and (vg == vc).all()
 
 
+@pytest.mark.full
 def test_everything_on_50_steps(small_case):
     """Capstone: the full feature stack at once — 2-D mesh, fused winds,
     divergence damping, the implicit w substep, 50 device-resident

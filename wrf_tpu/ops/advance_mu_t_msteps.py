@@ -434,7 +434,9 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         # now streams + precompute only; per-substep cost divides by S.
         sn = F(n_inner)
         ss = F(n_inner * (n_inner - 1) // 2)
-        sws = (sn * scal_ref[0, 4] + ss * scal_ref[0, 5]
+        # sum_s ws(s) = S + (S*step0 + S(S-1)/2) * dw under the
+        # ws = 1 + (step0+s)*dw ramp
+        sws = (sn + (sn * scal_ref[0, 4] + ss) * scal_ref[0, 5]
                if has_wscale else sn)
         t_st = jnp.where(p3, t_st + (sn * G0 + ss * G1 + sws * G2), t_st)
         mu_st = jnp.where(
@@ -453,7 +455,14 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         # differences — the same association as the single-step kernel's
         # on-load scaling, so the blocked loop stays bit-compatible
         if has_wscale:
-            ws = scal_ref[0, 4] + F(s) * scal_ref[0, 5]
+            # ws(s) = 1 + (step0 + s)*dw — the SAME f32 association as
+            # the single-step path's wscale_at(n) (n = step0 + s is an
+            # exact small-int f32 sum), so the per-substep scale is
+            # bit-identical to S sequential single-step calls at ANY
+            # block index (the old ws0 + s*dw form double-rounded for
+            # blocks past the first: fl(fl(1+n0*dw) + s*dw) !=
+            # fl(1 + (n0+s)*dw))
+            ws = F(1.0) + (scal_ref[0, 4] + F(s)) * scal_ref[0, 5]
             u = u0 * ws
             v = v0 * ws
             v_hi = v_hi0 * ws
@@ -527,7 +536,7 @@ def advance_mu_t_multistep_pallas(
     window, offsets=(0, 0),
     k0: int, k1: int, kde: int,
     n_inner: int = 2,
-    wind_scale0=1.0, wind_scale_step=0.0,
+    wind_step0=0.0, wind_scale_step=0.0,
     fast: bool = False,
     tj: int | None = None,
     vmem_limit: int | None = None,
@@ -543,9 +552,11 @@ def advance_mu_t_multistep_pallas(
     carries; the mid-scan-discarded 2-D diagnostics (muave/muts/mudf) are
     not computed (they are re-derived by the FINAL single-step call).
 
-    The wind scale for inner step ``s`` is ``wind_scale0 + s *
-    wind_scale_step`` (both may be traced scalars), matching the
-    surrounding loop's per-substep ramp.
+    The wind scale for inner step ``s`` is ``1 + (wind_step0 + s) *
+    wind_scale_step`` (both may be traced scalars) — the identical f32
+    association as the surrounding loop's per-substep ``wscale_at(n)``
+    with ``n = wind_step0 + s``, so the ramp is bit-compatible with
+    sequential single-step calls at any block index.
 
     ``fast`` switches to re-associated f32 arithmetic — NOT
     bit-compatible with the sequential path, held to the same fp32
@@ -567,8 +578,7 @@ def advance_mu_t_multistep_pallas(
     padj = (-(J - 2)) % tj
 
     has_wscale = not (
-        isinstance(wind_scale0, (int, float)) and wind_scale0 == 1.0
-        and isinstance(wind_scale_step, (int, float)) and wind_scale_step == 0.0
+        isinstance(wind_scale_step, (int, float)) and wind_scale_step == 0.0
     )
 
     const_ok = {"u", "v", "t_1", "tconst", "dvdxi_const"}
@@ -594,7 +604,7 @@ def advance_mu_t_multistep_pallas(
     kvecs = [jnp.asarray(a, F)[None, :] for a in (dnw, fnm, fnp, rdnw)]
 
     scal = jnp.stack([jnp.asarray(s, F) for s in
-                      (rdx, rdy, dts, 0.0, wind_scale0, wind_scale_step)
+                      (rdx, rdy, dts, 0.0, wind_step0, wind_scale_step)
                       ])[None, :]
     i0, i1, j0, j1 = window
     j_off, i_off = offsets

@@ -271,7 +271,7 @@ class ShardedAdvanceMuT:
                         fnp=const["fnp"], rdnw=const["rdnw"],
                         window=(i0, i1, j0, j1), offsets=(j_off, i_off),
                         k0=k0, k1=k1, kde=nz - 1, n_inner=S,
-                        wind_scale0=wscale_at(b * S),
+                        wind_step0=(b * S).astype(F),
                         wind_scale_step=(1e-7 if vary_winds else 0.0),
                         fast=fast,
                         tj=tj_loc, vmem_limit=vmem_limit,
