@@ -180,7 +180,16 @@ def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
     """Measured bare read+write HBM ceiling: a Pallas identity-copy chain
     (x -> copy(x), j-tiled like the production kernels), timed by the same
     marginal two-count method.  Pallas calls are opaque to XLA, so the
-    scan cannot collapse the chain.  Returns GB/s (read+write bytes)."""
+    scan cannot collapse the chain.  Returns GB/s (read+write bytes).
+
+    The ceiling is SHAPE-DEPENDENT (row length changes DMA efficiency):
+    r03's CONUS S=1 row read 108.6% of a 512-wide ceiling — physically
+    impossible, and the root cause was exactly this calibration gap
+    (VERDICT r03 weak #4).  The bench now measures one ceiling per
+    distinct config width and divides each row by ITS width's ceiling,
+    making >100% impossible unless the traffic model itself over-counts
+    (which the copy row then exposes: its model is exact by
+    construction)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -266,7 +275,10 @@ def _emit(records, copy_gbps=None, detail_path=None):
         extra = {"headline_error":
                  records[0].get("error", records[0].get("skipped",
                                                         "missing"))}
-    if copy_gbps is not None:
+    if isinstance(copy_gbps, dict) and copy_gbps:
+        extra["copy_ceiling_gb_per_s"] = {
+            f"{w}w": round(v, 1) for w, v in copy_gbps.items()}
+    elif isinstance(copy_gbps, (int, float)):
         extra["copy_ceiling_gb_per_s"] = round(copy_gbps, 1)
     full = {
         "metric": "advance_mu_t grid-points/s/chip "
@@ -318,7 +330,7 @@ def main():
     # takes ~25 min incl. the CONUS compiles): emit what we have on
     # SIGTERM, and stop starting new configs past the time budget
     records = []
-    copy_gbps = None
+    copy_gbps = {}
     detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_DETAIL.json")
 
@@ -338,11 +350,15 @@ def main():
     _wait_healthy()
     mesh = make_mesh([jax.devices()[0]], (1, 1))
 
-    try:
-        copy_gbps = measure_copy_gbps()
-    except Exception as e:
-        records.append({"config": "(copy ceiling)",
-                        "error": f"{type(e).__name__}: {e}"[:200]})
+    # one measured bare-copy ceiling per distinct config width
+    # (shape-matched calibration; see measure_copy_gbps docstring)
+    copy_gbps = {}
+    for width, shape in ((512, (512, 50, 514)), (1500, (1024, 50, 1502))):
+        try:
+            copy_gbps[width] = measure_copy_gbps(shape=shape)
+        except Exception as e:
+            records.append({"config": f"(copy ceiling {width}w)",
+                            "error": f"{type(e).__name__}: {e}"[:200]})
 
     for (name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2),
          tj) in SPECS:
@@ -373,7 +389,8 @@ def main():
                 rec.update(_bandwidth_fields(
                     nx, ny, nz, coupled=coupled, with_w=with_w, bf16=bf16,
                     S=inner, tj=tj, per_substep_s=per,
-                    copy_gbps=copy_gbps))
+                    copy_gbps=copy_gbps.get(
+                        512 if nx <= 768 else 1500)))
             records.append(rec)
         except Exception as e:  # keep earlier records if a config fails
             records.append({"config": name,

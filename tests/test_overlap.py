@@ -123,3 +123,42 @@ def test_overlap_validations():
         advance_mu_t_pallas(**kw, overlap=ov)
     with pytest.raises(ValueError, match="tj"):
         advance_mu_t_pallas(**kw, fuse_uv=True, cs2=0.3, tj=4, overlap=ov)
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"smdiv": 0.1},
+    pytest.param({"with_w": True}, marks=pytest.mark.full),
+])
+def test_overlap_loop_backend(kw):
+    """PRODUCTION plumbing: SmallStepLoop(halo_backend="rdma_overlap")
+    on the 1-axis interpreter mesh vs the ppermute loop — the same
+    values ride the exchange, so the comparison gates at the device-tier
+    fp32 tolerance (the two program shapes move a few last ulps of XLA's
+    CPU FMA contraction; kernel-level BIT equality is proven above, and
+    the compiled self-ring on hardware in tools/chip_checks.py).
+    Covers divergence damping: mudf rides the same staged exchange."""
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.models.small_step import SmallStepLoop
+    from wrf_tpu.parallel.mesh import make_mesh_1d
+    from wrf_tpu.parallel.sharded import case_to_domain
+
+    nx, ny, nz = 24, 24, 8
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=5)
+
+    def run(backend):
+        mesh = make_mesh_1d(jax.devices()[:4])
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=4,
+                             halo_backend=backend, **kw)
+        arrays = loop.prepare(
+            case_to_domain(case, with_w=kw.get("with_w", False)))
+        return loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+
+    a, b = run("ppermute"), run("rdma_overlap")
+    assert set(a) == set(b)
+    for n in sorted(a):
+        x, y = np.asarray(a[n]), np.asarray(b[n])
+        assert np.isfinite(y).all(), n
+        scale = max(float(np.abs(x).max()), 1.0)
+        np.testing.assert_allclose(y, x, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=n)

@@ -25,14 +25,14 @@ from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
 from wrf_tpu.utils.health import wait_healthy_inline
 
 
-def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None,
+def build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=None, ti=None,
           coupled=False, with_w=False, fast=False):
     if coupled:
         from wrf_tpu.models.small_step import SmallStepLoop
 
         loop = SmallStepLoop(
             mesh, nx, ny, nz, case.flags, n_steps=steps,
-            inner_steps=inner, tj=tj, with_w=with_w, fast=fast,
+            inner_steps=inner, tj=tj, ti=ti, with_w=with_w, fast=fast,
             const_dtype=jnp.bfloat16 if bf16 else None)
     else:
         loop = ShardedAdvanceMuT(

@@ -94,7 +94,7 @@ def fast_blocked_tolerance(nx, ny, nz, steps=9, inner=4, rtol=2e-5):
 
 
 def deep_blocked_tolerance(nx, ny, nz, steps=9, inner=4, with_w=False,
-                           tj=None):
+                           tj=None, ti=None):
     """COMPILED depth-S trapezoid (coupled_multistep_pallas, extended
     pl.Element windows) vs the single-step fused scan on the chip — the
     <=2 ulp/substep trapezoid tolerance class."""
@@ -104,7 +104,8 @@ def deep_blocked_tolerance(nx, ny, nz, steps=9, inner=4, with_w=False,
     for inner_ in (1, inner):
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              inner_steps=inner_, with_w=with_w,
-                             tj=tj if inner_ > 1 else None)
+                             tj=tj if inner_ > 1 else None,
+                             ti=ti if inner_ > 1 else None)
         out = loop(loop.prepare(case_to_domain(case, with_w=with_w)),
                    case.rdx, case.rdy, case.dts, case.epssm)
         outs[inner_] = {k: np.asarray(v) for k, v in out.items()}
@@ -145,6 +146,10 @@ def main():
     check("coupled loop rdma_overlap==ppermute, +w (64x48x16)",
           lambda: loop_backend_equal(64, 48, 16, with_w=True,
                                      backends=("ppermute", "rdma_overlap")))
+    # round-4: mudf rides the overlapped exchange (divergence damping)
+    check("coupled loop rdma_overlap==ppermute, +smdiv (64x48x16)",
+          lambda: loop_backend_equal(64, 48, 16, smdiv=0.1,
+                                     backends=("ppermute", "rdma_overlap")))
     check("fast blocked mu_t vs exact, compiled (96x80x20, S=4)",
           lambda: fast_blocked_tolerance(96, 80, 20))
     check("deep coupled trapezoid vs single, compiled (96x80x20, S=4)",
@@ -160,6 +165,12 @@ def main():
     check("bench coupled path: trapezoid S=4 tj=12, wide lanes "
           "(512x64x50)",
           lambda: deep_blocked_tolerance(512, 64, 50, inner=4, tj=12))
+    # round-4: the 2-D (j, i)-tiled trapezoid (lane windows + 128-ring)
+    check("2-D lane-tiled trapezoid S=4 ti=128 vs single (288x48x16)",
+          lambda: deep_blocked_tolerance(288, 48, 16, inner=4, ti=128))
+    check("2-D lane-tiled trapezoid S=4 ti=256 +w (640x48x20)",
+          lambda: deep_blocked_tolerance(640, 48, 20, inner=4, ti=256,
+                                         with_w=True))
     print("FAILURES:", FAILURES)
     return 1 if FAILURES else 0
 

@@ -20,8 +20,8 @@ from wrf_tpu.utils.health import wait_healthy_inline  # noqa: E402
 from bench_msteps import build  # noqa: E402  (same tools dir)
 
 
-def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, coupled=False,
-             with_w=False, fast=False, n1=50, n2=250):
+def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, ti=None,
+             coupled=False, with_w=False, fast=False, n1=50, n2=250):
     # pass-align so the single-step tails cancel (see blocked_counts)
     from wrf_tpu.utils.timing import blocked_counts
 
@@ -29,7 +29,7 @@ def marginal(mesh, case, nx, ny, nz, inner, bf16, tj=None, coupled=False,
     times = {}
     for steps in (n1, n2):
         run = build(mesh, case, nx, ny, nz, steps, inner, bf16, tj=tj,
-                    coupled=coupled, with_w=with_w, fast=fast)
+                    ti=ti, coupled=coupled, with_w=with_w, fast=fast)
         cs = run()
         assert np.isfinite(cs), f"non-finite checksum {cs}"
         best = float("inf")

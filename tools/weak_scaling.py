@@ -64,7 +64,8 @@ def ladder_sizes(n_devices: int) -> list[int]:
 
 
 def time_substep(mesh, tile, nz, *, steps_pair=(20, 80), repeats=8,
-                 with_w=False, inner_steps=1, tj=None) -> float:
+                 with_w=False, inner_steps=1, tj=None,
+                 halo_backend="ppermute") -> float:
     """ms per coupled substep at a FIXED local tile on ``mesh`` (marginal
     two-count method, scalar-readback synced — bench.py's protocol)."""
     from wrf_tpu.io import fixtures
@@ -78,8 +79,11 @@ def time_substep(mesh, tile, nz, *, steps_pair=(20, 80), repeats=8,
     n1, n2 = blocked_counts(inner_steps, *steps_pair, min_passes=2)
     times = {}
     for steps in (n1, n2):
+        hb = (halo_backend
+              if inner_steps == 1 and mesh.shape["j"] > 1 else "ppermute")
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                             with_w=with_w, inner_steps=inner_steps, tj=tj)
+                             with_w=with_w, inner_steps=inner_steps, tj=tj,
+                             halo_backend=hb)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
         scal = (case.rdx, case.rdy, case.dts, case.epssm)
 
@@ -97,16 +101,42 @@ def time_substep(mesh, tile, nz, *, steps_pair=(20, 80), repeats=8,
     return (times[n2] - times[n1]) / (n2 - n1) * 1e3
 
 
-def model_prediction(tile, nz) -> dict:
-    """SCALING.md's analytic efficiency at this tile: measured 12.9 us
-    exchange overhead vs compute scaled from the measured 512x512x50
-    1.01 ms/substep (both single-chip measurables)."""
-    exchange_us = 12.9
-    compute_us = 1010.0 * (tile[0] * tile[1] * nz) / (512 * 512 * 50)
-    eff = compute_us / (compute_us + exchange_us)
-    return {"exchange_us": exchange_us,
+#: measured round-3 chip records the model is built from (commit 25ec382
+#: exchange bench at the 128x128x50 local tile; BENCH_r03 coupled rows)
+MEASURED = {
+    # per-substep exchange overhead by backend, us, at the 128^2 knee
+    "exchange_us": {"rdma_overlap": 31.8, "ppermute": 37.1, "rdma": 43.3},
+    # coupled substep compute at 512x512x50, ms (S=1 unblocked / S=4
+    # blocked — the blocked loop exchanges once per S substeps, so its
+    # per-substep exchange cost divides by S)
+    "coupled_ms_512": {"S1": 1.01, "S4_blocked": 0.5763},
+    "provenance": "BENCH_r03.json coupled rows + commit 25ec382 "
+                  "exchange bench (chip-measured 2026-08-18/19)",
+}
+
+
+def model_prediction(tile, nz, halo_backend="rdma_overlap",
+                     inner_steps=1) -> dict:
+    """Analytic weak-scaling efficiency at this tile from single-chip
+    measurables: the MEASURED per-substep exchange overhead of the
+    selected backend vs compute scaled from the measured 512x512x50
+    coupled substep.  Cites its provenance so the emitted record is
+    checkable against SCALING.md's (reconciled) table."""
+    ex = MEASURED["exchange_us"].get(halo_backend,
+                                     MEASURED["exchange_us"]["ppermute"])
+    if inner_steps > 1:
+        # blocked loops run ONE width-S exchange per S substeps
+        ex = ex / inner_steps
+        compute_ms = MEASURED["coupled_ms_512"]["S4_blocked"]
+    else:
+        compute_ms = MEASURED["coupled_ms_512"]["S1"]
+    compute_us = compute_ms * 1e3 * (tile[0] * tile[1] * nz) / (512 * 512 * 50)
+    eff = compute_us / (compute_us + ex)
+    return {"halo_backend": halo_backend,
+            "exchange_us": round(ex, 1),
             "compute_us": round(compute_us, 1),
-            "predicted_efficiency": round(eff, 3)}
+            "predicted_efficiency": round(eff, 3),
+            "provenance": MEASURED["provenance"]}
 
 
 def main():
@@ -116,6 +146,12 @@ def main():
     ap.add_argument("--nz", type=int, default=50)
     ap.add_argument("--with-w", action="store_true")
     ap.add_argument("--inner-steps", type=int, default=1)
+    ap.add_argument("--halo-backend", default="ppermute",
+                    choices=["ppermute", "rdma", "rdma_overlap"],
+                    help="per-substep exchange backend for the measured "
+                         "ladder (SmallStepLoop); the model block "
+                         "predicts from the same backend's measured "
+                         "exchange cost")
     ap.add_argument("--max-devices", type=int, default=0)
     ap.add_argument("--dryrun", action="store_true",
                     help="tiny tiles on the virtual CPU mesh (validates "
@@ -144,7 +180,8 @@ def main():
         shape = mesh_shape_for(n)
         mesh = make_mesh(devices[:n], shape)
         ms = time_substep(mesh, tile, nz, steps_pair=pair, repeats=repeats,
-                          with_w=args.with_w, inner_steps=args.inner_steps)
+                          with_w=args.with_w, inner_steps=args.inner_steps,
+                          halo_backend=args.halo_backend)
         if base_ms is None:
             base_ms = ms
         ladder.append({
@@ -164,7 +201,8 @@ def main():
         "ladder": ladder,
         "min_efficiency": min(effs) if effs else None,
         "pass_80pct": bool(effs and min(effs) >= 0.8),
-        "model": model_prediction(tile, nz),
+        "model": model_prediction(tile, nz, args.halo_backend,
+                                  args.inner_steps),
         **({"dryrun": True} if dryrun else {}),
     }
     print(json.dumps(rec), flush=True)

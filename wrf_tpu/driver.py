@@ -56,7 +56,7 @@ BF16_ATOL_SCALE = 2e-2
 def run_tier(case, steps: int, tier: str, mesh_shape=None,
              capture: bool = False, with_w: bool = False,
              const_dtype=None, inner_steps: int = 1,
-             fast: bool = False):
+             fast: bool = False, halo_backend: str = "ppermute"):
     """Run `steps` small steps on the chosen tier; returns
     ``(outputs, seconds, golden_override)`` — ``golden_override`` is None
     for tiers verified against the fixture goldens, or the in-process
@@ -119,6 +119,7 @@ def run_tier(case, steps: int, tier: str, mesh_shape=None,
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              kernel=kernel, with_w=with_w,
                              const_dtype=const_dtype,
+                             halo_backend=halo_backend,
                              inner_steps=inner_steps, fast=fast)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
         warm = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
@@ -243,7 +244,15 @@ def main(argv=None) -> int:
                         "narrow the read-only 3-D bases to bf16 in HBM; "
                         "acceptance relaxes to the mode's documented "
                         "2e-2-of-scale contract")
+    p.add_argument("--halo-backend", default="ppermute",
+                   choices=["ppermute", "rdma", "rdma_overlap"],
+                   help="coupled-tier per-substep halo exchange backend "
+                        "(SmallStepLoop docstring); rdma_overlap fuses "
+                        "the exchange into the substep kernel")
     args = p.parse_args(argv)
+    if args.halo_backend != "ppermute" and not (
+            args.tier.startswith("coupled") or args.tier == "all"):
+        p.error("--halo-backend applies to the coupled tiers")
     if (args.dump_intermediates
             and args.tier not in ("numpy", "native", "xla", "pallas")):
         p.error("--dump-intermediates requires a capture-capable tier "
@@ -325,7 +334,7 @@ def main(argv=None) -> int:
         case, steps, args.tier, mesh_shape,
         capture=bool(args.dump_intermediates), with_w=args.with_w,
         const_dtype=const_dtype, inner_steps=args.inner_steps,
-        fast=args.fast)
+        fast=args.fast, halo_backend=args.halo_backend)
 
     if args.dump_intermediates:
         from pathlib import Path

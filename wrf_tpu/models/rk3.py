@@ -66,18 +66,31 @@ class RK3Integrator:
                  acoustic_steps: int = 6, kernel: str = "pallas",
                  cs2: float = DEFAULT_CS2, with_w: bool = False,
                  smdiv: float = 0.0, snapshot: str = "base",
+                 halo_backend: str = "ppermute",
                  interpret: bool | None = None, const_dtype=None,
-                 inner_steps: int = 1, fast: bool = False):
+                 inner_steps: int = 1, fast: bool = False,
+                 tj: int | None = None, ti: int | None = None):
         if snapshot not in ("stage", "base"):
             raise ValueError(f"bad snapshot mode {snapshot!r}")
         self.snapshot = snapshot
         self.stages = rk3_stages(acoustic_steps)
+        # ``halo_backend`` selects the per-substep exchange for every
+        # stage loop (SmallStepLoop docstring): "ppermute" collectives,
+        # "rdma" exchange-then-compute remote DMA, or "rdma_overlap" —
+        # the exchange fused into the substep kernel and hidden under
+        # its interior tiles' compute.  The blocked (inner_steps>1)
+        # stages keep their width-S ppermute exchange; stage 1 always
+        # runs 1 substep, so it benefits from overlap even then.
         self.loops = [
             SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
                           kernel=kernel, cs2=cs2, with_w=with_w,
                           smdiv=smdiv, interpret=interpret,
+                          halo_backend=(halo_backend
+                                        if inner_steps == 1 or n_sub == 1
+                                        else "ppermute"),
                           const_dtype=const_dtype,
-                          inner_steps=inner_steps, fast=fast)
+                          inner_steps=inner_steps, fast=fast,
+                          tj=tj, ti=ti)
             for (_, n_sub) in self.stages
         ]
         self.prepare = self.loops[0].prepare

@@ -38,7 +38,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..grid import ConfigFlags
 from ..ops.advance_mu_t_jnp import advance_mu_t_impl
 from ..ops.advance_mu_t_msteps import (
-    coupled_lean_kwargs, coupled_multistep_pallas, coupled_two_step_pallas,
+    LANE_RING, coupled_lean_kwargs, coupled_multistep_pallas,
+    coupled_two_step_pallas, lane_ring_pad, lane_ring_strip,
 )
 from ..ops.advance_mu_t_pallas import (
     advance_mu_t_pallas, lean_kwargs, sharded_tile_params,
@@ -119,7 +120,8 @@ class SmallStepLoop:
                  cw: float = DEFAULT_CW, gw: float = DEFAULT_GW,
                  smdiv: float = 0.0, halo_backend: str = "ppermute",
                  force_exchange: bool = False,
-                 tj: int | None = None, interpret: bool | None = None,
+                 tj: int | None = None, ti: int | None = None,
+                 interpret: bool | None = None,
                  const_dtype=None, inner_steps: int = 1,
                  fast: bool = False):
         """``halo_backend``:
@@ -156,9 +158,6 @@ class SmallStepLoop:
             if kernel != "pallas":
                 raise ValueError("rdma_overlap requires the fused pallas "
                                  "kernel (the exchange lives inside it)")
-            if smdiv:
-                raise ValueError("rdma_overlap does not cover mudf halos "
-                                 "yet (divergence damping)")
         if const_dtype is not None and kernel != "pallas":
             raise ValueError("const_dtype requires the pallas kernel")
         if not isinstance(inner_steps, int) or inner_steps < 1:
@@ -167,6 +166,16 @@ class SmallStepLoop:
             raise ValueError("fast re-associates the BLOCKED pass: it "
                              "requires inner_steps > 1 (alone it would "
                              "silently no-op)")
+        if ti is not None:
+            # 2-D (j, i)-tiled blocked kernel (lane windows + 128-lane
+            # ring layout, ops/advance_mu_t_msteps.py LANE_RING): the
+            # depth-S trapezoid only, i-axis unsharded (the lane-ring
+            # layout and the i halo exchange are not composed yet)
+            if inner_steps < 2:
+                raise ValueError("ti (lane tiling) requires "
+                                 "inner_steps >= 2")
+            if mesh.shape.get("i", 1) > 1 or force_exchange:
+                raise ValueError("ti requires an unsharded i axis")
         if inner_steps > 1:
             # the depth-S trapezoid needs +-S j rows of mu per block,
             # exchanged as a width-S ring (S=2 keeps the hand-unrolled
@@ -192,6 +201,8 @@ class SmallStepLoop:
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
 
+        has_i_axis = "i" in mesh.shape
+        ip = "i" if has_i_axis else None
         F3 = FIELDS_3D + (("w", "pp") if with_w else ())
         F1 = FIELDS_1D + (("rdn",) if with_w else ())
         self._f3, self._f1 = F3, F1
@@ -205,11 +216,12 @@ class SmallStepLoop:
         out_names = ("ww", "mu", "muave", "muts", "mudf", "t", "t_ave", "u", "v")
         if with_w:
             out_names += ("w", "pp")
-        out_specs = {n: (P("j", None, "i") if n in
+        out_specs = {n: (P("j", None, ip) if n in
                          ("ww", "t", "t_ave", "u", "v", "w", "pp")
-                         else P("j", "i"))
+                         else P("j", ip))
                      for n in out_names}
-        j_shards, i_shards = mesh.shape["j"], mesh.shape["i"]
+        j_shards = mesh.shape["j"]
+        i_shards = mesh.shape.get("i", 1)
 
         def local_loop(arrs, scalars):
             nj_loc, K, ni_loc = arrs["ww"].shape
@@ -241,8 +253,12 @@ class SmallStepLoop:
                 blk_streams = 60 if const_dtype is not None else 72
                 if with_w:
                     blk_streams += 28   # w/pp streams + Thomas scratches
+                # lane-tiled: VMEM scales with the lane BLOCK (ti + the
+                # 128-lane halo each side), not the domain width
+                budget_lanes = (ni_loc if ti is None
+                                else ti + 2 * LANE_RING - 2)
                 tj_loc, vmem_limit = sharded_tile_params(
-                    K, ni_loc, tj, streams=blk_streams,
+                    K, budget_lanes, tj, streams=blk_streams,
                     fixed_rows=6 * max(0, inner_steps - 2))
             else:
                 tj_loc, vmem_limit = sharded_tile_params(
@@ -262,7 +278,8 @@ class SmallStepLoop:
             Jl = nj_loc + 2 + padj
 
             j_off = jax.lax.axis_index("j") * nj_loc - 1
-            i_off = jax.lax.axis_index("i") * ni_loc - 1
+            i_off = ((jax.lax.axis_index("i") * ni_loc - 1)
+                     if has_i_axis else -1)
             i0, i1, j0, j1 = window[:4]
             offs = (j_off, i_off)
 
@@ -353,12 +370,19 @@ class SmallStepLoop:
                     # (the kernel recomputes them from the fresh mu halo).
                     if halo_backend == "rdma_overlap" and j_sh:
                         # the j exchange rides INSIDE the substep kernel,
-                        # overlapped with its interior tiles; only mu's
-                        # lane-axis (i) halo needs a ppermute first
+                        # overlapped with its interior tiles; only the
+                        # lane-axis (i) halos of mu (and mudf under
+                        # damping) need a ppermute first
                         ins = {**const, **state}
                         if i_sh:
                             ins["mu"] = halo.refresh_axis(
                                 state["mu"], 1, "i", n_interior=ni_loc)
+                        if smdiv:
+                            mudf_p = ins.pop("mudf")
+                            if i_sh:
+                                mudf_p = halo.refresh_axis(
+                                    mudf_p, 1, "i", n_interior=ni_loc)
+                            ins["mudf_in"] = mudf_p
                         out = fused_step(
                             ins, with_tave, "final" if final else "lite",
                             overlap_cfg={"axis_name": "j",
@@ -555,8 +579,17 @@ class SmallStepLoop:
                 # the hand-unrolled pair kernel serves S=2 (its chip
                 # calibration); the depth-S kernel everything deeper —
                 # WRF_TPU_COUPLED_GENERAL=1 forces it at S=2 for A/B
-                use_general = S > 2 or os.environ.get(
+                use_general = S > 2 or ti is not None or os.environ.get(
                     "WRF_TPU_COUPLED_GENERAL") == "1"
+
+                if ti is not None:
+                    # embed EVERYTHING the blocked kernel streams into
+                    # the 128-lane-ring layout ONCE, outside the scan
+                    I2w = state2["t"].shape[-1]
+                    state2 = {k2: lane_ring_pad(v2, ti)
+                              for k2, v2 in state2.items()}
+                    c2const = {k2: lane_ring_pad(v2, ti)
+                               for k2, v2 in c2const.items()}
 
                 def block_body(st, _):
                     if j_sh or i_sh:
@@ -575,6 +608,7 @@ class SmallStepLoop:
                         **({"w": st["w"], "pp": st["pp"]} if with_w
                            else {}),
                         **({"n_inner": S} if use_general else {}),
+                        **({"ti": ti} if ti is not None else {}),
                         tj=tj_loc, vmem_limit=vmem_limit,
                         interpret=interpret,
                     )
@@ -582,6 +616,9 @@ class SmallStepLoop:
 
                 state2, _ = jax.lax.scan(block_body, state2,
                                          length=n_blocks)
+                if ti is not None:
+                    state2 = {k2: lane_ring_strip(v2, I2w)
+                              for k2, v2 in state2.items()}
 
                 def strip3(v):
                     v = jnp.concatenate([v[S - 1 : nj_loc + S + 1],

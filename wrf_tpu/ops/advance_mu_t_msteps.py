@@ -62,10 +62,21 @@ F = jnp.float32
 # ------------------------------------------------------------------ #
 def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
                    tcon, interp, rdnw3, t1c, t1_jp, t1_jm, t1_ip, t1_im,
-                   msftx, msfty, rdx, rdy, dts, fast_scan, K, k0, k1):
+                   msftx, msfty, rdx, rdy, dts, fast_scan, K, k0, k1,
+                   lc=None, ablate: str = "", unroll: bool = False):
     """(ww_scan, theta): the seeded vertical ww scan (sequential in-VMEM
     fori_loop, or the re-associated log-depth masked cumsum under
-    ``fast_scan``) and the center-row theta update."""
+    ``fast_scan``) and the center-row theta update.
+
+    ``lc`` (lane-tiled kernels only) slices a halo-wide lane block down
+    to the tile's center lanes; the identity otherwise.  With it, theta
+    computes the horizontal fluxes on the WIDE blocks (the t_1/u/v lane
+    stencils need the halo lanes) and slices before the center-width t
+    update — all other operands (t, tconst, ww seed, masks) arrive
+    center-width, so the theta/ww/w phases never touch halo lanes."""
+    if lc is None:
+        def lc(x):
+            return x
     def scan_body(k, _):
         scan_ref[:, pl.ds(k, 1), :] = (
             scan_ref[:, pl.ds(k - 1, 1), :] + scan_ref[:, pl.ds(k, 1), :]
@@ -85,16 +96,32 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
             return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
         scan_ref[:] = roll_k(steps, 1)
         scan_ref[:, k0 : k0 + 1, :] = seed
-        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        if "noscan" not in ablate:   # perf-debug (WRF_TPU_ABLATE)
+            if unroll or "unroll" in ablate:
+                # STATIC-slice unrolled sequential adds — the exact
+                # association/op sequence of the fori_loop.  Mandatory
+                # under lane tiling: pl.ds dynamic sublane indexing
+                # faults the TPU at runtime when composed with the 2-D
+                # windowed grid (tools/probe_2d_bisect.py rung h vs j,
+                # 2026-08-20); also available as a perf A/B via
+                # WRF_TPU_ABLATE=unroll.
+                for k in range(k0 + 1, k1 + 1):
+                    scan_ref[:, k : k + 1, :] = (
+                        scan_ref[:, k - 1 : k, :]
+                        + scan_ref[:, k : k + 1, :])
+            else:
+                jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
         return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
 
     def theta(t_in, u, v_c, v_p, ww_new):
         t_half = t_in + tcon
+        if "nophaseb" in ablate:     # perf-debug ablation
+            return jnp.where(kmask_upd & mask_c, t_half, t_in)
         wdtn = jnp.where(kmask_w, ww_new * interp, F(0.0))
         vert = rdnw3 * (roll_k(wdtn, -1) - wdtn)
         fy = v_p * (t1_jp + t1c) - v_c * (t1c + t1_jm)
         fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
-        horiz = msftx * (F(0.5) * rdy * fy + F(0.5) * rdx * fx)
+        horiz = msftx * lc(F(0.5) * rdy * fy + F(0.5) * rdx * fx)
         return jnp.where(kmask_upd & mask_c,
                          t_half - (dts * msfty) * (horiz + vert), t_in)
 
@@ -105,7 +132,7 @@ def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
               crdn_ref, erdn_ref, roll_k, kmask_upd, kmask_w, mask_c,
               rdnw3, K, k0, k1, epssm, c_w, g_t,
               fast_solve=False, fws_ref=None, fwp_ref=None,
-              bws_ref=None, bwp_ref=None):
+              bws_ref=None, bwp_ref=None, unroll: bool = False):
     """w_step: the fused vertically-implicit w/pp substep — column-local
     Thomas solve, pointwise in (i, j), identical to the single-step
     kernel's fuse_w block (advance_mu_t_pallas._kernel); ``scan_ref``
@@ -183,8 +210,21 @@ def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
         else:
             scan_ref[:] = rhs
             dpw_ref[:, k0 : k0 + 1, :] = jnp.zeros_like(wf[:, :1, :])
-            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
-            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+            if unroll:
+                # static-slice unrolled Thomas sweeps (see the ww scan's
+                # unroll note: pl.ds + 2-D windowed grid faults)
+                for k in range(k0 + 1, k1 + 1):
+                    dpw_ref[:, k : k + 1, :] = (
+                        scan_ref[:, k : k + 1, :]
+                        + aw_ref[0, k] * dpw_ref[:, k - 1 : k, :]
+                    ) / denv_ref[0, k]
+                for k in range(k1 - 1, k0, -1):
+                    dpw_ref[:, k : k + 1, :] = (
+                        dpw_ref[:, k : k + 1, :]
+                        - cpv_ref[0, k] * dpw_ref[:, k + 1 : k + 2, :])
+            else:
+                jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+                jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
             w_sol = dpw_ref[:]
         w_new = jnp.where(kmask_w & mask_c, w_sol, wf)
         wn_act = jnp.where(kmask_w, w_sol, F(0.0))
@@ -809,7 +849,8 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
         kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c, tcon=tcon,
         interp=interp, rdnw3=rdnw3, t1c=t1c, t1_jp=t1_jp, t1_jm=t1_jm,
         t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty, rdx=rdx,
-        rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0, k1=k1)
+        rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0, k1=k1,
+        ablate=ablate_from_env())
 
     if fuse_w:
         w_step = _w_solver(
@@ -1100,8 +1141,37 @@ def coupled_two_step_pallas(
 # Reference parity: module_small_step_em.f90:140-248 (advance_mu_t) +
 # the advance_uv wind update it couples to (SURVEY.md §3.4).
 # ------------------------------------------------------------------ #
+def lane_ring_pad(x, ti: int):
+    """Embed ``x`` (lane dim last) into the LANE_RING layout the 2-D
+    tiled kernel requires: lanes ``[LANE_RING-1 zeros | x | zeros]`` with
+    the tiled center region covering original lanes ``1 .. ni_t`` where
+    ``ni_t = ceil((I2-1)/ti)*ti`` (so the original hi ring lane is inside
+    the last tile's center, passing through by mask) and total width
+    ``2*LANE_RING + ni_t``.  Zero pad lanes are outside every window
+    mask.  Call ONCE outside the scan; strip with lane_ring_strip."""
+    I2 = x.shape[-1]
+    ni_t = -(-(I2 - 1) // ti) * ti
+    pad = [(0, 0)] * (x.ndim - 1) + [(LANE_RING - 1,
+                                      ni_t + LANE_RING + 1 - I2)]
+    return jnp.pad(x, pad)
+
+
+def lane_ring_strip(x, I2: int):
+    """Inverse of lane_ring_pad: original lanes [LANE_RING-1, +I2)."""
+    return x[..., LANE_RING - 1 : LANE_RING - 1 + I2]
+
+
+#: lane ring width of the 2-D (j, i)-tiled layout.  Mosaic requires lane
+#: block sizes AND lane window offsets to be multiples of 128 (probe
+#: finding 2026-08-20, tools/probe_2d.py), so the minimum lane halo a
+#: windowed tile can carry is one 128-lane ring; with the ring exactly
+#: 128 the center windows land 128-aligned for free.
+LANE_RING = 128
+
+
 def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
-                       fuse_w: bool, fast_scan: bool = False):
+                       fuse_w: bool, fast_scan: bool = False,
+                       ti: int | None = None):
     S = n_inner
     it = iter(refs)
     scal_ref = next(it)   # (1, 7) f32: rdx, rdy, dts, cs2, epssm, c_w, g_t
@@ -1152,9 +1222,20 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         return a[a_lo - lo : a_lo + tj + hi]
 
     # ---- masks on the full +-S row range ------------------------------
+    # Lane-tiled form (ti): each program's block carries ti center lanes
+    # plus the LANE_RING halo each side (I = ti + 2*LANE_RING here); the
+    # i±1 stencils stay full-block rolls — the roll wrap contaminates
+    # only the outermost lane each substep, reaching <= S < LANE_RING
+    # lanes in from the block edge, and the outputs take center lanes
+    # only, so the wrap garbage never escapes (the 2-D trapezoid in
+    # lanes needs no extent slicing).  ``i_glob`` adds the tile's lane
+    # offset; win_ref[0, 5] is pre-shifted by the wrapper so lane 0 of
+    # tile gi sits at global ring coordinate i_off + gi*ti - (LANE_RING
+    # - 1).
+    lane_off = pl.program_id(1) * ti if ti is not None else 0
     rows = tj + 2 * S
-    i_glob = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 2) \
-        + win_ref[0, 5]
+    i_glob = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 2)
+              + win_ref[0, 5] + lane_off)
     j_glob = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 0)
               + win_ref[0, 4] + 1 - S + g * tj)        # row m -> e = m-S
     i0w, i1w = win_ref[0, 0], win_ref[0, 1]
@@ -1165,6 +1246,19 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     u_mask_f = (i_glob >= i0w + 1) & (i_glob <= i1w) & j_in
     v_mask_f = i_in & (j_glob >= j0w + 1) & (j_glob <= j1w)
     mask_c = sl(mask_f, S, 0, 0)
+
+    # lane-center slicer: halo-wide block -> the tile's ti center lanes
+    # (identity in the 1-D full-row form).  Center-only operands (t,
+    # tconst, w, pp, ww seed, msftx/msfty) arrive at center width from
+    # their exact-ti windows; only the wind/mass trapezoid and the t_1
+    # stencils run on wide blocks.
+    if ti is not None:
+        def lc(x):
+            return x[:, :, LANE_RING : LANE_RING + ti]
+    else:
+        def lc(x):
+            return x
+    mask_cc = lc(mask_c)
 
     # ---- once-per-pass center constants (theta/ww) --------------------
     t1e = _ld(t1_ref)                      # +-1
@@ -1201,21 +1295,22 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
 
     ww_scan, theta = _phase_helpers(
         scan_ref=scan_ref, roll_i=roll_i, roll_k=roll_k,
-        kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c, tcon=tcon,
-        interp=interp, rdnw3=rdnw3, t1c=t1c, t1_jp=t1_jp, t1_jm=t1_jm,
-        t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty, rdx=rdx,
-        rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0, k1=k1)
+        kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_cc, tcon=tcon,
+        interp=lc(interp), rdnw3=rdnw3, t1c=t1c, t1_jp=t1_jp,
+        t1_jm=t1_jm, t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty,
+        rdx=rdx, rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0,
+        k1=k1, lc=lc, ablate=ablate_from_env(), unroll=ti is not None)
 
     if fuse_w:
         w_step = _w_solver(
             scan_ref=scan_ref, dpw_ref=dpw_ref,
             aw_ref=aw_ref, cpv_ref=cpv_ref, denv_ref=denv_ref,
             crdn_ref=crdn_ref, erdn_ref=erdn_ref, roll_k=roll_k,
-            kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_c,
+            kmask_upd=kmask_upd, kmask_w=kmask_w, mask_c=mask_cc,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
             c_w=scal_ref[0, 5], g_t=scal_ref[0, 6],
             fast_solve=fast_scan, fws_ref=fws_ref, fwp_ref=fwp_ref,
-            bws_ref=bws_ref, bwp_ref=bwp_ref)
+            bws_ref=bws_ref, bwp_ref=bwp_ref, unroll=ti is not None)
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
@@ -1240,10 +1335,10 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
             sl(mu_c, mu_lo, r, r) + dts * (dmdt + sl(mute_e, S - 1, r, r)),
             sl(mu_c, mu_lo, r, r))
 
-        steps_c = (-dnw * (sl(dmdt, r, 0, 0) + sl(dvdxi, r, 0, 0)
-                           + mutend_c)) * inv_msfty
+        steps_c = (-dnw * lc(sl(dmdt, r, 0, 0) + sl(dvdxi, r, 0, 0)
+                             + mutend_c)) * inv_msfty
         wwv = ww_scan(steps_c, seed)
-        seed = jnp.where(mask_c, seed - ww1k0, seed)
+        seed = jnp.where(mask_cc, seed - ww1k0, seed)
         t_c = theta(t_c, sl(u_n, r, 0, 0), sl(v_n, r, 0, 0),
                     v_n[r + 1 : r + tj + 1], wwv)
         if fuse_w:
@@ -1253,10 +1348,11 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         u_c, u_lo = u_n, r
         v_c, v_lo = v_n, r
 
+    # lane-tiled: t/w/pp/seed computed center-width; u/v/mu wide -> lc
     t_out[:] = t_c
-    u_out[:] = u_c
-    v_out[:] = v_c[0:tj]
-    mu_out[:] = mu_c
+    u_out[:] = lc(u_c)
+    v_out[:] = lc(v_c[0:tj])
+    mu_out[:] = lc(mu_c)
     wwrow_out[:] = seed
     if fuse_w:
         w_out[:] = w_st
@@ -1277,6 +1373,7 @@ def coupled_multistep_pallas(
     cw: float = 0.0, gw: float = 0.0, epssm=0.0,
     fast: bool = False,
     tj: int | None = None,
+    ti: int | None = None,
     vmem_limit: int | None = None,
     interpret: bool = False,
 ):
@@ -1288,7 +1385,23 @@ def coupled_multistep_pallas(
     local row S to global ring row ``j_off + 1``).  ``(J2 - 2*S)`` must
     be a multiple of ``tj``.  Returns ``{"t", "mu", "ww_row", "u", "v"}``
     (+ ``w``/``pp`` under ``fuse_w``) with u/v/mu in FRESH buffers whose
-    ring rows are patched from the inputs."""
+    ring rows are patched from the inputs.
+
+    ``ti`` switches to the 2-D (j, i)-tiled grid: the arrays must then
+    be in the LANE-RING layout — lanes ``[LANE_RING-1 zero pad |
+    original lanes | zero pad]`` with total width a multiple of 128 and
+    ``(I - 2*LANE_RING) % ti == 0`` — built ONCE by the caller outside
+    its scan (``lane_ring_pad``).  Each program owns ``(rows, K, ti)``
+    center lanes plus the 128-lane halo each side on the trapezoid
+    operands only; center-only operands (t, tconst, w, pp, the ww seed)
+    stream at exactly ``ti`` lanes.  VMEM per program then no longer
+    scales with the domain width — the design point VERDICT r03 #1
+    names — and the kernel lowering cost drops with the lane width,
+    which is what makes deep S practical at CONUS width (S=8 lowering
+    at 1500 lanes was abandoned at 25+ min, tools/conus_probe.py).
+    Not bit-identical to the 1-D form (same <=2 ulp/substep
+    fusion-boundary class as every trapezoid vs sequential comparison).
+    """
     del kde
     S = int(n_inner)
     if S < 2:
@@ -1299,6 +1412,16 @@ def coupled_multistep_pallas(
         tj = _pick_tj(K, I, streams=64, fixed_rows=6 * (S - 2))
     if (J2 - 2 * S) % tj:
         raise ValueError(f"(J2-2S)={J2 - 2 * S} not a multiple of tj={tj}")
+    if ti is not None:
+        if ti % 128:
+            raise ValueError(f"ti={ti} must be a multiple of 128 "
+                             "(Mosaic lane window alignment)")
+        if I % 128 or (I - 2 * LANE_RING) % ti or I < ti + 2 * LANE_RING:
+            raise ValueError(
+                f"lane-tiled arrays need I % 128 == 0 and "
+                f"(I - {2 * LANE_RING}) % ti == 0; got I={I}, ti={ti}")
+        if S > LANE_RING:
+            raise ValueError("S must be <= LANE_RING")
 
     const_ok = {"t_1", "tconst", "dvdxi_const"}
 
@@ -1340,24 +1463,66 @@ def coupled_multistep_pallas(
                       ])[None, :]
     i0, i1, j0, j1 = window
     j_off, i_off = offsets
+    if ti is not None:
+        # lane-tiled mapping: in-block lane l of tile gi sits at global
+        # ring coordinate i_off + gi*ti + l - (LANE_RING - 1) (original
+        # lane 0 lives at array lane LANE_RING - 1)
+        i_off = i_off - (LANE_RING - 1)
     win = jnp.stack([jnp.asarray(x, jnp.int32)
                      for x in (i0, i1, j0, j1, j_off, i_off)])[None, :]
 
-    # pl.Element windows: rows [S - lo + g*tj, + nrows)
-    def ev(nrows, lo, kk):
-        return pl.BlockSpec(
-            (pl.Element(nrows), pl.Element(kk), pl.Element(I)),
-            lambda g, o=S - lo: (o + g * tj, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    # pl.Element windows: rows [S - lo + g*tj, + nrows).  In lane-tiled
+    # mode the windows additionally select lanes: ``wide=True`` carries
+    # the tile's ti center lanes plus the 128-lane halo each side (the
+    # trapezoid operands), ``wide=False`` exactly the ti center lanes
+    # (center-only operands).  Both lane offsets are 128-aligned by the
+    # LANE_RING layout, which Mosaic requires.
+    if ti is None:
+        def ev(nrows, lo, kk, wide=True):
+            del wide
+            return pl.BlockSpec(
+                (pl.Element(nrows), pl.Element(kk), pl.Element(I)),
+                lambda g, o=S - lo: (o + g * tj, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
 
-    sk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    smk = pl.BlockSpec((1, K), lambda g: (0, 0), memory_space=pltpu.SMEM)
-    ssc = pl.BlockSpec((1, 7), lambda g: (0, 0), memory_space=pltpu.SMEM)
-    swin = pl.BlockSpec((1, 6), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        def _flat(spec_shape):
+            return pl.BlockSpec(spec_shape, lambda g: (0, 0),
+                                memory_space=pltpu.VMEM)
 
-    c3 = ev(tj, 0, K)
-    c2 = ev(tj, 0, 1)
+        def _flat_smem(spec_shape):
+            return pl.BlockSpec(spec_shape, lambda g: (0, 0),
+                                memory_space=pltpu.SMEM)
+    else:
+        def ev(nrows, lo, kk, wide=True):
+            lanes = ti + 2 * LANE_RING if wide else ti
+            lane0 = 0 if wide else LANE_RING
+            # pl.multiple_of: Mosaic's window-param prover cannot see
+            # that l0 + gi*ti is 128-aligned on its own and hard-crashes
+            # the compile helper without the hint (probe_2d_bisect rung
+            # c, 2026-08-20)
+            return pl.BlockSpec(
+                (pl.Element(nrows), pl.Element(kk), pl.Element(lanes)),
+                lambda gj, gi, o=S - lo, l0=lane0: (
+                    o + gj * tj, 0, pl.multiple_of(l0 + gi * ti, 128)),
+                memory_space=pltpu.VMEM,
+            )
+
+        def _flat(spec_shape):
+            return pl.BlockSpec(spec_shape, lambda gj, gi: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def _flat_smem(spec_shape):
+            return pl.BlockSpec(spec_shape, lambda gj, gi: (0, 0),
+                                memory_space=pltpu.SMEM)
+
+    sk = _flat((1, K))
+    smk = _flat_smem((1, K))
+    ssc = _flat_smem((1, 7))
+    swin = _flat_smem((1, 6))
+
+    c3 = ev(tj, 0, K, wide=False)
+    c2 = ev(tj, 0, 1, wide=False)
     nw = 2 if fuse_w else 0
     in_specs = [ssc, swin,
                 ev(tj + 2 * S - 2, S - 1, K),     # u
@@ -1409,14 +1574,22 @@ def coupled_multistep_pallas(
         aliases[9] = 6
 
     kernel = functools.partial(_coupled_ms_kernel, k0=k0, k1=k1, tj=tj,
-                               n_inner=S, fuse_w=fuse_w, fast_scan=fast)
+                               n_inner=S, fuse_w=fuse_w, fast_scan=fast,
+                               ti=ti)
+    if ti is None:
+        grid = ((J2 - 2 * S) // tj,)
+        scr_lanes = I
+    else:
+        grid = ((J2 - 2 * S) // tj, (I - 2 * LANE_RING) // ti)
+        scr_lanes = ti
     outs = pl.pallas_call(
         kernel,
-        grid=((J2 - 2 * S) // tj,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, I), F)] * (2 if fuse_w else 1),
+        scratch_shapes=[pltpu.VMEM((tj, K, scr_lanes), F)]
+        * (2 if fuse_w else 1),
         input_output_aliases=aliases,
         compiler_params=_compiler_params(vmem_limit),
         interpret=interpret,
@@ -1425,13 +1598,20 @@ def coupled_multistep_pallas(
 
     def patch(out, inp):
         out = out.at[0:S].set(inp[0:S])
-        return out.at[J2 - S : J2].set(inp[J2 - S : J2])
+        out = out.at[J2 - S : J2].set(inp[J2 - S : J2])
+        if ti is not None:
+            # fresh lane-tiled buffers: the ring/pad lanes are never
+            # covered by an output window — pass them through too
+            hi = LANE_RING + (I - 2 * LANE_RING)
+            out = out.at[..., 0:LANE_RING].set(inp[..., 0:LANE_RING])
+            out = out.at[..., hi:I].set(inp[..., hi:I])
+        return out
 
     res = {
         "t": t_o,
         "u": patch(u_o, d3["u"]),
         "v": patch(v_o, d3["v"]),
-        "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)),
+        "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)[:, :]),
         "ww_row": wwrow_o[:, 0, :],
     }
     if fuse_w:

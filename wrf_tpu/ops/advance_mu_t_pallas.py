@@ -175,8 +175,12 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if overlap:
         # pre-staged halo-exchange send payloads (ANY space, lane-padded):
         # my last-interior mu row (-> next's lo halo), my first-interior
-        # mu row and v row (-> prev's hi halos)
+        # mu row and v row (-> prev's hi halos); under divergence damping
+        # the mudf rows ride the same exchange (D: -> next's lo, E: ->
+        # prev's hi)
         sendA_ref, sendB_ref, sendC_ref = next(it), next(it), next(it)
+        if use_damp:
+            sendD_ref, sendE_ref = next(it), next(it)
     # --- outputs (TJ, K, I) / (TJ, 1, I) at the slab rows ------------------
     ww_out = next(it) if ww_mode != "lite" else None
     t_out = next(it)
@@ -195,8 +199,10 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
     if fuse_w:
         dpw_ref = next(it)   # Thomas sweep state (c'/den are hoisted)
     if overlap:
-        # RDMA landing buffers + the 3 copies' send/recv semaphore pairs
+        # RDMA landing buffers + the copies' send/recv semaphore pairs
         recvA_ref, recvB_ref, recvC_ref = next(it), next(it), next(it)
+        if use_damp:
+            recvD_ref, recvE_ref = next(it), next(it)
         sems = next(it)
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
@@ -257,9 +263,13 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         from ..parallel.halo import _ring_ids
 
         nxt, prv, id_type = _ring_ids(overlap_axis, overlap_interpret)
-        _xfers = ((sendA_ref, recvA_ref, 0, nxt),   # mu lo halo <- prev
+        _xfers = [(sendA_ref, recvA_ref, 0, nxt),   # mu lo halo <- prev
                   (sendB_ref, recvB_ref, 2, prv),   # mu hi halo <- next
-                  (sendC_ref, recvC_ref, 4, prv))   # v  hi halo <- next
+                  (sendC_ref, recvC_ref, 4, prv)]   # v  hi halo <- next
+        if use_damp:
+            _xfers += [(sendD_ref, recvD_ref, 6, nxt),   # mudf lo <- prev
+                       (sendE_ref, recvE_ref, 8, prv)]   # mudf hi <- next
+        n_xfers = len(_xfers)
 
         def _rdma(n):
             src, dst, s, to = _xfers[n]
@@ -280,17 +290,21 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
                 pltpu.semaphore_signal(barrier, inc=1, device_id=prv,
                                        device_id_type=id_type)
                 pltpu.semaphore_wait(barrier, 2)
-            for n in range(3):
+            for n in range(n_xfers):
                 _rdma(n).start()
 
         @pl.when(is_lo_edge)
         def _():
             _rdma(0).wait()      # mu lo halo (from prev) has landed
+            if use_damp:
+                _rdma(3).wait()  # mudf lo halo (from prev)
 
         @pl.when(is_hi_edge)
         def _():
             _rdma(1).wait()      # mu hi halo (from next)
             _rdma(2).wait()      # v hi halo (from next)
+            if use_damp:
+                _rdma(4).wait()  # mudf hi halo (from next)
 
     # constant streams may ride HBM as bf16 (see the wrapper's _ingest3);
     # all arithmetic is f32 — upcast on load (free on f32 refs)
@@ -337,9 +351,16 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             # divergence damping: the previous substep's mass-divergence
             # tendency (mudf) stiffens the pressure (ops/advance_uv.py)
             dampc = scal_ref[0, 8]
+            mudf_lo = mudf_lo_ref[:]
+            mudf_hi = mudf_hi_ref[:]
+            if overlap:
+                mudf_lo = jnp.where(is_lo_edge, recvD_ref[:, :, :I],
+                                    mudf_lo)
+                mudf_hi = jnp.where(is_hi_edge, recvE_ref[:, :, :I],
+                                    mudf_hi)
             p = p + dampc * mudf_ref[:]
-            p_lo = p_lo + dampc * mudf_lo_ref[:]
-            p_hi = p_hi + dampc * mudf_hi_ref[:]
+            p_lo = p_lo + dampc * mudf_lo
+            p_hi = p_hi + dampc * mudf_hi
         u_mask = (i_glob >= i0w + 1) & (i_glob <= i1w) & j_in
         v_mask = i_in & (j_glob >= j0w + 1) & (j_glob <= j1w)
         du = (dts * muu_over_msfuy * (-rdx)) * (p - roll_i(p, 1))
@@ -856,9 +877,6 @@ def advance_mu_t_pallas(
             raise ValueError("overlap requires fuse_uv (the coupled "
                              "substep; the mu_t-only loop has no per-"
                              "substep exchange to hide)")
-        if use_damp:
-            raise ValueError("overlap does not cover mudf halos yet "
-                             "(divergence damping)")
         if padj:
             raise ValueError(
                 f"overlap requires tj | (J-2): tj={tj}, J-2={J - 2} "
@@ -959,6 +977,11 @@ def advance_mu_t_pallas(
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         in_specs += [any_spec, any_spec, any_spec]
         operands += [send_next_mu, send_prev_mu, send_prev_v]
+        if use_damp:
+            # mudf rides the same staged exchange (same stencil as mu)
+            in_specs += [any_spec, any_spec]
+            operands += [_lanepad(mudf3[n_int : n_int + 1]),
+                         _lanepad(mudf3[1:2])]
 
     big = jax.ShapeDtypeStruct((Jp, K, I), F)
     thin = jax.ShapeDtypeStruct((Jp, 1, I), F)
@@ -1030,8 +1053,11 @@ def advance_mu_t_pallas(
     if overlap is not None:
         scratch += [pltpu.VMEM((1, 1, Ipad), F),   # recv A: mu lo halo
                     pltpu.VMEM((1, 1, Ipad), F),   # recv B: mu hi halo
-                    pltpu.VMEM((1, K, Ipad), F),   # recv C: v hi halo
-                    pltpu.SemaphoreType.DMA((6,))]
+                    pltpu.VMEM((1, K, Ipad), F)]   # recv C: v hi halo
+        if use_damp:
+            scratch += [pltpu.VMEM((1, 1, Ipad), F),   # recv D: mudf lo
+                        pltpu.VMEM((1, 1, Ipad), F)]   # recv E: mudf hi
+        scratch += [pltpu.SemaphoreType.DMA((10 if use_damp else 6,))]
     outs = pl.pallas_call(
         kernel,
         grid=(grid_n,),

@@ -48,14 +48,28 @@ def make_mesh(
     return Mesh(dev_array, AXES)
 
 
+def make_mesh_1d(devices: list | None = None) -> Mesh:
+    """A 1-axis ``("j",)`` mesh — the only topology whose Pallas remote
+    DMAs the INTERPRETER can discharge (LOGICAL device ids; the
+    dma_start discharge rule rejects meshes with >1 named axis even at
+    size 1).  Used by the interpret-tier overlap tests and the
+    multichip dryrun; production meshes are 2-D (make_mesh)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), ("j",))
+
+
+def _ispec(mesh: Mesh):
+    return "i" if "i" in mesh.shape else None
+
+
 def sharding3(mesh: Mesh) -> NamedSharding:
     """Sharding for (j, k, i) fields: j and i sharded, k chip-local."""
-    return NamedSharding(mesh, P("j", None, "i"))
+    return NamedSharding(mesh, P("j", None, _ispec(mesh)))
 
 
 def sharding2(mesh: Mesh) -> NamedSharding:
     """Sharding for (j, i) fields."""
-    return NamedSharding(mesh, P("j", "i"))
+    return NamedSharding(mesh, P("j", _ispec(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

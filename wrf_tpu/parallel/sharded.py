@@ -78,7 +78,7 @@ def domain_window(nx: int, ny: int, nz: int, flags: ConfigFlags):
 
 def pad_to_mesh(x: np.ndarray | jax.Array, mesh: Mesh) -> jax.Array:
     """Zero-pad the decomposed axes up to multiples of the mesh shape."""
-    nj, ni = mesh.shape["j"], mesh.shape["i"]
+    nj, ni = mesh.shape["j"], mesh.shape.get("i", 1)
     if x.ndim == 3:
         pj = (-x.shape[0]) % nj
         pi = (-x.shape[2]) % ni

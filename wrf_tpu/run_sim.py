@@ -53,6 +53,12 @@ def main(argv=None) -> int:
     p.add_argument("--with-w", action="store_true",
                    help="include the vertically-implicit w/pp substep")
     p.add_argument("--kernel", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--halo-backend", default="ppermute",
+                   choices=["ppermute", "rdma", "rdma_overlap"],
+                   help="per-substep halo exchange: XLA collectives, "
+                        "exchange-then-compute remote DMA, or the "
+                        "in-kernel overlapped exchange (rdma_overlap — "
+                        "hidden under the interior tiles' compute)")
     p.add_argument("--precision", default="f32",
                    choices=["f32", "bf16-const"],
                    help="bf16-const narrows the never-written 3-D bases "
@@ -138,6 +144,7 @@ def main(argv=None) -> int:
     rk3 = RK3Integrator(mesh, nx, ny, nz, flags,
                         acoustic_steps=dyn["acoustic_steps"],
                         kernel=args.kernel, with_w=args.with_w,
+                        halo_backend=args.halo_backend,
                         smdiv=dyn["smdiv"],
                         snapshot="base" if args.closure == "nudge"
                         else "stage",
