@@ -162,3 +162,42 @@ def test_overlap_loop_backend(kw):
         scale = max(float(np.abs(x).max()), 1.0)
         np.testing.assert_allclose(y, x, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=n)
+
+
+@pytest.mark.parametrize("inner,kw", [
+    (4, {}),
+    pytest.param(4, {"with_w": True}, marks=pytest.mark.full),
+    pytest.param(2, {}, marks=pytest.mark.full),
+])
+def test_blocked_overlap_loop_backend(inner, kw):
+    """The depth-S trapezoid's width-S mu/u/v ring exchange fused into
+    the block kernel (coupled_multistep_pallas ``overlap``): the RDMAs
+    start at grid step 0, the permuted grid runs the two ring-reading
+    edge tiles last, and only they wait.  Landed rows are the exact
+    rows halo.refresh_axis_w ships, so the loop matches the ppermute
+    block exchange at the device-tier tolerance (S=2 routes through the
+    generalized kernel — the pair kernel has no overlap support)."""
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.models.small_step import SmallStepLoop
+    from wrf_tpu.parallel.mesh import make_mesh_1d
+    from wrf_tpu.parallel.sharded import case_to_domain
+
+    nx, ny, nz = 24, 32, 8
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=5)
+
+    def run(backend):
+        mesh = make_mesh_1d(jax.devices()[:4])
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=9,
+                             inner_steps=inner, halo_backend=backend,
+                             **kw)
+        arrays = loop.prepare(
+            case_to_domain(case, with_w=kw.get("with_w", False)))
+        return loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+
+    a, b = run("ppermute"), run("rdma_overlap")
+    for n in sorted(a):
+        x, y = np.asarray(a[n]), np.asarray(b[n])
+        assert np.isfinite(y).all(), n
+        scale = max(float(np.abs(x).max()), 1.0)
+        np.testing.assert_allclose(y, x, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=n)

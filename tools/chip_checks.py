@@ -55,14 +55,15 @@ def refresh_case(mesh, spec, J, K, I):
 
 
 def loop_backend_equal(nx, ny, nz, steps=4, with_w=False, smdiv=0.0,
-                       backends=("ppermute", "rdma")):
+                       backends=("ppermute", "rdma"), inner_steps=1):
     case = fixtures.make_case(nx, ny, nz, halo=2, seed=3)
     mesh = make_mesh([jax.devices()[0]], (1, 1))
     outs = {}
     for backend in backends:
         loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
                              halo_backend=backend, force_exchange=True,
-                             with_w=with_w, smdiv=smdiv)
+                             with_w=with_w, smdiv=smdiv,
+                             inner_steps=inner_steps)
         arrays = loop.prepare(case_to_domain(case, with_w=with_w))
         out = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
         outs[backend] = {k: np.asarray(v) for k, v in out.items()}
@@ -150,6 +151,11 @@ def main():
     check("coupled loop rdma_overlap==ppermute, +smdiv (64x48x16)",
           lambda: loop_backend_equal(64, 48, 16, smdiv=0.1,
                                      backends=("ppermute", "rdma_overlap")))
+    # round-4: the BLOCKED trapezoid's width-S exchange fused in-kernel
+    check("blocked S=4 rdma_overlap==ppermute self-ring (64x48x16)",
+          lambda: loop_backend_equal(64, 48, 16, steps=9, inner_steps=4,
+                                     backends=("ppermute",
+                                               "rdma_overlap")))
     check("fast blocked mu_t vs exact, compiled (96x80x20, S=4)",
           lambda: fast_blocked_tolerance(96, 80, 20))
     check("deep coupled trapezoid vs single, compiled (96x80x20, S=4)",

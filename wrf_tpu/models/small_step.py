@@ -186,11 +186,22 @@ class SmallStepLoop:
                 raise ValueError("inner_steps>1 does not support smdiv "
                                  "yet (mudf would need its own extended "
                                  "rows)")
-            if halo_backend in ("rdma", "rdma_overlap") and (
+            if halo_backend == "rdma" and (
                     mesh.shape["j"] > 1 or force_exchange):
                 raise ValueError("inner_steps>1 uses the width-S "
-                                 "ppermute exchange; the RDMA backends "
-                                 "cover the single-step loop")
+                                 "ppermute exchange or the overlapped "
+                                 "in-kernel exchange (rdma_overlap); "
+                                 "the plain rdma backend covers the "
+                                 "single-step loop")
+            if halo_backend == "rdma_overlap" and (
+                    mesh.shape["j"] > 1 or force_exchange):
+                # the deep trapezoid fuses the width-S mu/u/v ring
+                # exchange into the block kernel (edge tiles run last);
+                # the S=2 pair kernel has no overlap support, so the
+                # generalized kernel serves S=2 too
+                if ti is not None:
+                    raise ValueError("rdma_overlap and lane tiling (ti) "
+                                     "are not composed yet")
         self._force_exchange = force_exchange
         self.mesh = mesh
         self.domain = (nx, ny, nz)
@@ -562,12 +573,14 @@ class SmallStepLoop:
                 def block_refresh(st):
                     """mu/u/v changed last block: refresh their ring-S
                     halos (mu is read S cells deep by the trapezoid;
-                    u/v S-1 — the width-S exchange covers all)."""
+                    u/v S-1 — the width-S exchange covers all).  Under
+                    the overlapped backend the j leg rides INSIDE the
+                    block kernel; only the i-axis halos exchange here."""
                     st = dict(st)
                     for n2, ax_j, ax_i in (("mu", 0, 1), ("u", 0, 2),
                                            ("v", 0, 2)):
                         x = st[n2]
-                        if j_sh:
+                        if j_sh and not blk_overlap:
                             x = halo.refresh_axis_w(x, ax_j, "j",
                                                     nj_loc, S)
                         if i_sh:
@@ -579,8 +592,26 @@ class SmallStepLoop:
                 # the hand-unrolled pair kernel serves S=2 (its chip
                 # calibration); the depth-S kernel everything deeper —
                 # WRF_TPU_COUPLED_GENERAL=1 forces it at S=2 for A/B
-                use_general = S > 2 or ti is not None or os.environ.get(
-                    "WRF_TPU_COUPLED_GENERAL") == "1"
+                blk_overlap = (halo_backend == "rdma_overlap"
+                               and (j_sh or force_exchange))
+                use_general = (S > 2 or ti is not None or blk_overlap
+                               or os.environ.get(
+                                   "WRF_TPU_COUPLED_GENERAL") == "1")
+                if blk_overlap:
+                    # in-kernel exchange substitutes ring rows at the
+                    # two edge tiles only: zero row padding (tj divides
+                    # nj_loc) and tj >= S — pick the largest divisor of
+                    # nj_loc in [S, tj_budget] (fall back to the
+                    # smallest divisor >= S)
+                    tj_loc = next(
+                        (t for t in range(min(tj_loc, nj_loc), S - 1, -1)
+                         if nj_loc % t == 0),
+                        next((t for t in range(S, nj_loc + 1)
+                              if nj_loc % t == 0), None))
+                    if tj_loc is None:
+                        raise ValueError(
+                            f"no tile in [S, {nj_loc}] divides nj_loc="
+                            f"{nj_loc} (S={S})")
 
                 if ti is not None:
                     # embed EVERYTHING the blocked kernel streams into
@@ -592,11 +623,15 @@ class SmallStepLoop:
                                for k2, v2 in c2const.items()}
 
                 def block_body(st, _):
-                    if j_sh or i_sh:
+                    if (j_sh and not blk_overlap) or i_sh:
                         st = block_refresh(st)
                     kern = (coupled_multistep_pallas if use_general
                             else coupled_two_step_pallas)
-                    out2 = kern(
+                    ov_kw = ({"overlap": {"axis_name": "j",
+                                          "n_interior": nj_loc,
+                                          "collective_id": 8}}
+                             if blk_overlap else {})
+                    out2 = kern(**ov_kw,
                         u=st["u"], v=st["v"], t=st["t"], mu=st["mu"],
                         ww_row=st["ww_row"], **c2const,
                         rdx=scalars["rdx"], rdy=scalars["rdy"],

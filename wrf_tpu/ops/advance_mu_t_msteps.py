@@ -1171,7 +1171,9 @@ LANE_RING = 128
 
 def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
                        fuse_w: bool, fast_scan: bool = False,
-                       ti: int | None = None):
+                       ti: int | None = None, overlap: bool = False,
+                       overlap_axis: str = "j",
+                       overlap_interpret: bool = False):
     S = n_inner
     it = iter(refs)
     scal_ref = next(it)   # (1, 7) f32: rdx, rdy, dts, cs2, epssm, c_w, g_t
@@ -1193,6 +1195,15 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
                 next(it), next(it), next(it), next(it))
         else:
             fws_ref = fwp_ref = bws_ref = bwp_ref = None
+    if overlap:
+        # pre-staged width-S ring-exchange payloads (ANY space,
+        # lane-padded): my last-S-interior rows of mu/u/v (-> next's lo
+        # ring) and my first-S-interior rows (-> prev's hi ring) — the
+        # exact rows halo.refresh_axis_w ships, so the landed values are
+        # BIT-equal to the exchange-then-compute block refresh
+        (sMuN_ref, sMuP_ref, sUN_ref, sUP_ref,
+         sVN_ref, sVP_ref) = (next(it), next(it), next(it), next(it),
+                              next(it), next(it))
     t_out, u_out, v_out, mu_out, wwrow_out = (
         next(it), next(it), next(it), next(it), next(it))
     if fuse_w:
@@ -1200,12 +1211,28 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     scan_ref = next(it)
     if fuse_w:
         dpw_ref = next(it)
+    if overlap:
+        (rMuLo_ref, rMuHi_ref, rULo_ref, rUHi_ref,
+         rVLo_ref, rVHi_ref) = (next(it), next(it), next(it), next(it),
+                                next(it), next(it))
+        ov_sems = next(it)
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
     K = t1_ref.shape[1]
     I = t1_ref.shape[2]
     g = pl.program_id(0)
+    if overlap:
+        # grid permuted so the two ring-reading edge tiles run LAST —
+        # the in-flight width-S RDMAs get the interior tiles' compute
+        # time to land (same schedule as the S=1 overlap kernel,
+        # advance_mu_t_pallas)
+        n_g = pl.num_programs(0)
+        tile = jax.lax.rem(g + 1, n_g)
+        is_lo_edge = tile == 0
+        is_hi_edge = tile == n_g - 1
+    else:
+        tile = g
 
     def roll_i(x, shift):
         return pltpu.roll(x, shift % I, 2)
@@ -1220,6 +1247,48 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     # slice it down to [-lo, tj + hi)
     def sl(a, a_lo, lo, hi):
         return a[a_lo - lo : a_lo + tj + hi]
+
+    if overlap:
+        from ..parallel.halo import _ring_ids
+
+        nxt, prv, id_type = _ring_ids(overlap_axis, overlap_interpret)
+        _xfers = ((sMuN_ref, rMuLo_ref, 0, nxt),
+                  (sMuP_ref, rMuHi_ref, 2, prv),
+                  (sUN_ref, rULo_ref, 4, nxt),
+                  (sUP_ref, rUHi_ref, 6, prv),
+                  (sVN_ref, rVLo_ref, 8, nxt),
+                  (sVP_ref, rVHi_ref, 10, prv))
+
+        def _rdma(n):
+            src, dst, sm, to = _xfers[n]
+            return pltpu.make_async_remote_copy(
+                src_ref=src, dst_ref=dst,
+                send_sem=ov_sems.at[sm], recv_sem=ov_sems.at[sm + 1],
+                device_id=to, device_id_type=id_type)
+
+        @pl.when(g == 0)
+        def _():
+            if not overlap_interpret:
+                barrier = pltpu.get_barrier_semaphore()
+                pltpu.semaphore_signal(barrier, inc=1, device_id=nxt,
+                                       device_id_type=id_type)
+                pltpu.semaphore_signal(barrier, inc=1, device_id=prv,
+                                       device_id_type=id_type)
+                pltpu.semaphore_wait(barrier, 2)
+            for n in range(6):
+                _rdma(n).start()
+
+        @pl.when(is_lo_edge)
+        def _():
+            _rdma(0).wait()
+            _rdma(2).wait()
+            _rdma(4).wait()
+
+        @pl.when(is_hi_edge)
+        def _():
+            _rdma(1).wait()
+            _rdma(3).wait()
+            _rdma(5).wait()
 
     # ---- masks on the full +-S row range ------------------------------
     # Lane-tiled form (ti): each program's block carries ti center lanes
@@ -1237,7 +1306,7 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     i_glob = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 2)
               + win_ref[0, 5] + lane_off)
     j_glob = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1, I), 0)
-              + win_ref[0, 4] + 1 - S + g * tj)        # row m -> e = m-S
+              + win_ref[0, 4] + 1 - S + tile * tj)     # row m -> e = m-S
     i0w, i1w = win_ref[0, 0], win_ref[0, 1]
     j0w, j1w = win_ref[0, 2], win_ref[0, 3]
     i_in = (i_glob >= i0w) & (i_glob <= i1w)
@@ -1282,9 +1351,34 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
     mutend_c = sl(mutend_ref[:], S - 1, 0, 0)
 
     # ---- extended streams ---------------------------------------------
-    mu_c, mu_lo = mu_ref[:], S
-    u_c, u_lo = u_ref[:], S - 1
-    v_c, v_lo = v_ref[:], S - 1           # hi extent S (j-staggered)
+    mu_src, u_src, v_src = mu_ref[:], u_ref[:], v_ref[:]
+    if overlap:
+        # edge tiles: the ring rows INSIDE the loaded wide blocks are
+        # stale mid-scan — replace them with the landed width-S RDMA
+        # rows (outer-dim concat, no relayout).  Offsets: the lo ring
+        # holds rows [0..S) but u/v windows start at ring row 1 (their
+        # lo extent is S-1); the payload covers the full S rows so the
+        # slice offset selects the needed ones.
+        def _sub_edges(blk, lo_cnt, hi_cnt, r_lo, r_hi, lo_off):
+            if lo_cnt:
+                lo_rows = r_lo[lo_off : lo_off + lo_cnt, :, :I]
+                blk = jnp.where(
+                    is_lo_edge,
+                    jnp.concatenate([lo_rows, blk[lo_cnt:]], axis=0), blk)
+            if hi_cnt:
+                hi_rows = r_hi[0:hi_cnt, :, :I]
+                blk = jnp.where(
+                    is_hi_edge,
+                    jnp.concatenate([blk[: blk.shape[0] - hi_cnt],
+                                     hi_rows], axis=0), blk)
+            return blk
+
+        mu_src = _sub_edges(mu_src, S, S, rMuLo_ref, rMuHi_ref, 0)
+        u_src = _sub_edges(u_src, S - 1, S - 1, rULo_ref, rUHi_ref, 1)
+        v_src = _sub_edges(v_src, S - 1, S, rVLo_ref, rVHi_ref, 1)
+    mu_c, mu_lo = mu_src, S
+    u_c, u_lo = u_src, S - 1
+    v_c, v_lo = v_src, S - 1              # hi extent S (j-staggered)
     mute_e = mutend_ref[:]
     cu_e = cu_ref[:]
     cv_e = cv_ref[:]
@@ -1375,6 +1469,10 @@ def coupled_multistep_pallas(
     tj: int | None = None,
     ti: int | None = None,
     vmem_limit: int | None = None,
+    overlap: dict | None = None,    # in-kernel overlapped width-S ring
+                                    # exchange of mu/u/v along j:
+                                    # {"axis_name", "n_interior",
+                                    #  "collective_id"}
     interpret: bool = False,
 ):
     """``n_inner`` coupled (advance_uv + advance_mu_t) substeps in one
@@ -1422,6 +1520,19 @@ def coupled_multistep_pallas(
                 f"(I - {2 * LANE_RING}) % ti == 0; got I={I}, ti={ti}")
         if S > LANE_RING:
             raise ValueError("S must be <= LANE_RING")
+    if overlap is not None:
+        if ti is not None:
+            raise ValueError("overlap and lane tiling (ti) are not "
+                             "composed yet")
+        n_int = int(overlap["n_interior"])
+        if (J2 - 2 * S) != n_int or (tj and n_int % tj):
+            raise ValueError(
+                f"overlap requires zero row padding and tj | n_interior "
+                f"(J2-2S={J2 - 2 * S}, n_interior={n_int}, tj={tj})")
+        if tj < S:
+            raise ValueError(f"overlap requires tj >= S so only the two "
+                             f"edge tiles read ring rows (tj={tj}, "
+                             f"S={S})")
 
     const_ok = {"t_1", "tconst", "dvdxi_const"}
 
@@ -1477,12 +1588,18 @@ def coupled_multistep_pallas(
     # trapezoid operands), ``wide=False`` exactly the ti center lanes
     # (center-only operands).  Both lane offsets are 128-aligned by the
     # LANE_RING layout, which Mosaic requires.
+    if overlap is not None:
+        grid_n1 = (J2 - 2 * S) // tj
+        _pf = lambda g: jax.lax.rem(g + 1, grid_n1)  # noqa: E731
+    else:
+        _pf = lambda g: g  # noqa: E731
+
     if ti is None:
         def ev(nrows, lo, kk, wide=True):
             del wide
             return pl.BlockSpec(
                 (pl.Element(nrows), pl.Element(kk), pl.Element(I)),
-                lambda g, o=S - lo: (o + g * tj, 0, 0),
+                lambda g, o=S - lo: (o + _pf(g) * tj, 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -1573,25 +1690,58 @@ def coupled_multistep_pallas(
         aliases[8] = 5
         aliases[9] = 6
 
-    kernel = functools.partial(_coupled_ms_kernel, k0=k0, k1=k1, tj=tj,
-                               n_inner=S, fuse_w=fuse_w, fast_scan=fast,
-                               ti=ti)
+    if overlap is not None:
+        # stage the width-S exchange payloads: the same interior rows
+        # halo.refresh_axis_w ships (first/last S interior rows of
+        # mu/u/v), lane-padded to 128 for the whole-buffer remote copies
+        n_int = int(overlap["n_interior"])
+        Ipad = -(-I // 128) * 128
+
+        def _lp(x):
+            return jnp.pad(x, ((0, 0), (0, 0), (0, Ipad - I)))
+
+        pay = []
+        for arr in (f2["mu"], d3["u"].astype(F), d3["v"].astype(F)):
+            pay += [_lp(arr[n_int : n_int + S]),   # last S int -> next lo
+                    _lp(arr[S : 2 * S])]           # first S int -> prev hi
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs += [any_spec] * 6
+        operands += pay
+
+    kernel = functools.partial(
+        _coupled_ms_kernel, k0=k0, k1=k1, tj=tj,
+        n_inner=S, fuse_w=fuse_w, fast_scan=fast, ti=ti,
+        overlap=overlap is not None,
+        overlap_axis=(overlap or {}).get("axis_name", "j"),
+        overlap_interpret=interpret)
     if ti is None:
         grid = ((J2 - 2 * S) // tj,)
         scr_lanes = I
     else:
         grid = ((J2 - 2 * S) // tj, (I - 2 * LANE_RING) // ti)
         scr_lanes = ti
+    scratch = [pltpu.VMEM((tj, K, scr_lanes), F)] * (2 if fuse_w else 1)
+    if overlap is not None:
+        scratch += [pltpu.VMEM((S, 1, Ipad), F),   # recv mu lo
+                    pltpu.VMEM((S, 1, Ipad), F),   # recv mu hi
+                    pltpu.VMEM((S, K, Ipad), F),   # recv u lo
+                    pltpu.VMEM((S, K, Ipad), F),   # recv u hi
+                    pltpu.VMEM((S, K, Ipad), F),   # recv v lo
+                    pltpu.VMEM((S, K, Ipad), F),   # recv v hi
+                    pltpu.SemaphoreType.DMA((12,))]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tj, K, scr_lanes), F)]
-        * (2 if fuse_w else 1),
+        scratch_shapes=scratch,
         input_output_aliases=aliases,
-        compiler_params=_compiler_params(vmem_limit),
+        compiler_params=_compiler_params(
+            vmem_limit,
+            collective_id=(None if overlap is None
+                           else overlap.get("collective_id", 8)),
+        ),
         interpret=interpret,
     )(*operands)
     t_o, u_o, v_o, mu_o, wwrow_o = outs[:5]
