@@ -34,6 +34,11 @@ from wrf_tpu.parallel.sharded import case_to_domain
 
 
 def marginal(case, nx, ny, nz, n1, n2, repeats=4, **kw):
+    from wrf_tpu.utils.timing import blocked_counts
+
+    # pass-align the two counts for blocked configs so the single-step
+    # tails cancel in the difference
+    n1, n2 = blocked_counts(kw.get("inner_steps", 1), n1, n2)
     mesh = make_mesh([jax.devices()[0]], (1, 1))
     times = {}
     for steps in (n1, n2):
@@ -73,14 +78,26 @@ def main():
         # under the interior tiles' compute (advance_mu_t_pallas overlap)
         ("rdma_overlap", dict(force_exchange=True,
                               halo_backend="rdma_overlap")),
+        # BLOCKED variants (depth-4 trapezoid): width-S exchange once per
+        # block — ppermute block refresh vs the in-kernel overlapped
+        # exchange (coupled_multistep_pallas overlap); overheads are vs
+        # the no-exchange BLOCKED baseline
+        ("S=4 no exchange", dict(force_exchange=False, inner_steps=4)),
+        ("S=4 ppermute blocks", dict(force_exchange=True, inner_steps=4,
+                                     halo_backend="ppermute")),
+        ("S=4 rdma_overlap", dict(force_exchange=True, inner_steps=4,
+                                  halo_backend="rdma_overlap")),
     ]
-    base = None
+    base = blk_base = None
     for name, kw in configs:
         per = marginal(case, nx, ny, nz, n1, n2, **kw)
         if base is None:
             base = per
+        if name == "S=4 no exchange":
+            blk_base = per
+        b = blk_base if (name.startswith("S=4") and blk_base) else base
         print(f"{name:>20} ({nx}x{ny}x{nz}): {per*1e3:8.4f} ms/substep"
-              f"   overhead {max(per-base,0)*1e6:7.1f} us", flush=True)
+              f"   overhead {max(per-b,0)*1e6:7.1f} us", flush=True)
 
 
 if __name__ == "__main__":

@@ -104,14 +104,24 @@ def time_substep(mesh, tile, nz, *, steps_pair=(20, 80), repeats=8,
 #: measured round-3 chip records the model is built from (commit 25ec382
 #: exchange bench at the 128x128x50 local tile; BENCH_r03 coupled rows)
 MEASURED = {
-    # per-substep exchange overhead by backend, us, at the 128^2 knee
-    "exchange_us": {"rdma_overlap": 31.8, "ppermute": 37.1, "rdma": 43.3},
+    # per-substep exchange overhead by backend, us, at the 128x128x50
+    # knee — single-chip self-ring (launch/scheduling cost; wire time
+    # excluded).  NOTE the backend ordering is STACK-DEPENDENT: the
+    # round-3 run (commit 25ec382) measured overlap cheapest
+    # (31.8 vs 37.1/43.3); the round-4 re-run on the updated worker
+    # stack measured ppermute cheapest (25.8 vs 38.8/43.2,
+    # tools/bench_halo.py 2026-08-20) — the overlap backend's grid
+    # permutation costs pipeline efficiency that only a real multi-chip
+    # wire transfer can pay back, so ppermute stays the default and the
+    # model uses the round-4 numbers.
+    "exchange_us": {"ppermute": 25.8, "rdma": 38.8, "rdma_overlap": 43.2},
     # coupled substep compute at 512x512x50, ms (S=1 unblocked / S=4
     # blocked — the blocked loop exchanges once per S substeps, so its
     # per-substep exchange cost divides by S)
-    "coupled_ms_512": {"S1": 1.01, "S4_blocked": 0.5763},
-    "provenance": "BENCH_r03.json coupled rows + commit 25ec382 "
-                  "exchange bench (chip-measured 2026-08-18/19)",
+    "coupled_ms_512": {"S1": 1.01, "S4_blocked": 0.5546},
+    "provenance": "tools/bench_halo.py self-ring 2026-08-20 (r04) + "
+                  "round-4 512^2 coupled records; round-3 ordering "
+                  "(overlap cheapest) noted as stack-dependent",
 }
 
 

@@ -41,6 +41,7 @@ the lean folding documented in advance_mu_t_pallas.lean_constants.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -100,11 +101,13 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
             if unroll or "unroll" in ablate:
                 # STATIC-slice unrolled sequential adds — the exact
                 # association/op sequence of the fori_loop.  Mandatory
-                # under lane tiling: pl.ds dynamic sublane indexing
-                # faults the TPU at runtime when composed with the 2-D
-                # windowed grid (tools/probe_2d_bisect.py rung h vs j,
-                # 2026-08-20); also available as a perf A/B via
-                # WRF_TPU_ABLATE=unroll.
+                # under lane tiling (pl.ds dynamic sublane indexing
+                # faults the TPU when composed with the 2-D windowed
+                # grid — tools/probe_2d_bisect.py rung h vs j) and the
+                # DEFAULT for the deep coupled kernel since the chip
+                # A/B measured it faster (CONUS S=4: 4.078 -> 4.006
+                # ms/substep, 2026-08-20); fori kept for the other
+                # kernels and as the WRF_TPU_ABLATE=unroll-free arm.
                 for k in range(k0 + 1, k1 + 1):
                     scan_ref[:, k : k + 1, :] = (
                         scan_ref[:, k - 1 : k, :]
@@ -524,7 +527,13 @@ def _kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         scan_ref[:] = roll_k(steps, 1)
         scan_ref[:, k0 : k0 + 1, :] = seed
         if "noscan" not in ablate:   # perf-debug (WRF_TPU_ABLATE)
-            jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+            if "unroll" in ablate:   # exact static-slice A/B arm
+                for k in range(k0 + 1, k1 + 1):
+                    scan_ref[:, k : k + 1, :] = (
+                        scan_ref[:, k - 1 : k, :]
+                        + scan_ref[:, k : k + 1, :])
+            else:
+                jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
         ww_new = jnp.where(kmask_upd & mask, scan_ref[:], F(0.0))
         seed = jnp.where(mask, seed - ww1k0, seed)
 
@@ -1169,6 +1178,23 @@ def lane_ring_strip(x, I2: int):
 LANE_RING = 128
 
 
+def _deep_unroll(ti, fuse_w: bool = False) -> bool:
+    """Static-unrolled sequential sweeps are the deep coupled kernel's
+    DEFAULT for the plain (mu/t-only theta/ww) trapezoid — chip A/B:
+    CONUS S=4 4.078 -> 4.006, 512^2 S=4 0.576 -> 0.555 ms/substep —
+    but NOT for fuse_w, whose unrolled Thomas sweeps measured SLOWER
+    (1.089 vs 1.059, same-day A/B 2026-08-20); and MANDATORY under lane
+    tiling (pl.ds faults with the 2-D windowed grid).
+    WRF_TPU_DEEP_UNROLL=0/1 overrides for A/B — except under lane
+    tiling, where fori cannot run."""
+    if ti is not None:
+        return True
+    env = os.environ.get("WRF_TPU_DEEP_UNROLL")
+    if env is not None:
+        return env != "0"
+    return not fuse_w
+
+
 def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
                        fuse_w: bool, fast_scan: bool = False,
                        ti: int | None = None, overlap: bool = False,
@@ -1393,7 +1419,8 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         interp=lc(interp), rdnw3=rdnw3, t1c=t1c, t1_jp=t1_jp,
         t1_jm=t1_jm, t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty,
         rdx=rdx, rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0,
-        k1=k1, lc=lc, ablate=ablate_from_env(), unroll=ti is not None)
+        k1=k1, lc=lc, ablate=ablate_from_env(),
+        unroll=_deep_unroll(ti, fuse_w))
 
     if fuse_w:
         w_step = _w_solver(
@@ -1404,7 +1431,8 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
             c_w=scal_ref[0, 5], g_t=scal_ref[0, 6],
             fast_solve=fast_scan, fws_ref=fws_ref, fwp_ref=fwp_ref,
-            bws_ref=bws_ref, bwp_ref=bwp_ref, unroll=ti is not None)
+            bws_ref=bws_ref, bwp_ref=bwp_ref,
+            unroll=_deep_unroll(ti, fuse_w))
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 

@@ -436,7 +436,12 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
         return 0
 
     if "noscan" not in ablate:   # perf-debug ablation (WRF_TPU_ABLATE)
-        jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+        if "unroll" in ablate:       # exact static-slice A/B arm
+            for k in range(k0 + 1, k1 + 1):
+                scan_ref[:, k : k + 1, :] = (
+                    scan_ref[:, k - 1 : k, :] + scan_ref[:, k : k + 1, :])
+        else:
+            jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
     kmask_upd = _k_range_mask(K, k0, k1 + 1)
     if ww_mode == "lite":
         # only this substep's theta stencil consumes ww_new (in-window);
@@ -526,17 +531,28 @@ def _kernel(*refs, k0: int, k1: int, tj: int, fuse_uv: bool, with_tave: bool,
             ) / denv_ref[0, k]
             return 0
 
-        jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
+        if "unroll" in ablate:       # exact static-slice A/B arm
+            for k in range(k0 + 1, k1 + 1):
+                dpw_ref[:, k : k + 1, :] = (
+                    scan_ref[:, k : k + 1, :]
+                    + aw_ref[0, k] * dpw_ref[:, k - 1 : k, :]
+                ) / denv_ref[0, k]
+            for k in range(k1 - 1, k0, -1):
+                dpw_ref[:, k : k + 1, :] = (
+                    dpw_ref[:, k : k + 1, :]
+                    - cpv_ref[0, k] * dpw_ref[:, k + 1 : k + 2, :])
+        else:
+            jax.lax.fori_loop(k0 + 1, k1 + 1, w_fwd, 0)
 
-        def w_bwd(m, _):
-            k = k1 - 1 - m
-            dpw_ref[:, pl.ds(k, 1), :] = (
-                dpw_ref[:, pl.ds(k, 1), :]
-                - cpv_ref[0, k] * dpw_ref[:, pl.ds(k + 1, 1), :]
-            )
-            return 0
+            def w_bwd(m, _):
+                k = k1 - 1 - m
+                dpw_ref[:, pl.ds(k, 1), :] = (
+                    dpw_ref[:, pl.ds(k, 1), :]
+                    - cpv_ref[0, k] * dpw_ref[:, pl.ds(k + 1, 1), :]
+                )
+                return 0
 
-        jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
+            jax.lax.fori_loop(0, k1 - 1 - k0, w_bwd, 0)
         w_sol = dpw_ref[:]
         w_out[:] = jnp.where(k_int & mask, w_sol, wf)
         wn_act = jnp.where(k_int, w_sol, F(0.0))
