@@ -97,6 +97,11 @@ SPECS = [
      False, False, False, 1, (50, 250), None),
     ("coupled 512x512x50", 512, 512, 50,
      True, False, False, 4, (50, 250), 12),
+    # re-associated log-depth ww cumsum on the plain coupled trapezoid
+    # (fast class, labeled): the measured re-associable share of the
+    # serial scan is ~7.6% (tools/coupled_decomp.py, 0.513 vs 0.555)
+    ("coupled 512x512x50 fast S=4", 512, 512, 50,
+     True, False, False, "4f", (50, 250), 12),
     ("coupled+w 512x512x50", 512, 512, 50,
      True, True, False, 4, (50, 250), 8),
     # log-depth (scaled-cumsum) Thomas solve + re-associated ww cumsum —

@@ -21,6 +21,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (repo-local, gitignored): the quick
+# tier's dominant cost on this one-core box is CPU compilation of the
+# 8-device SPMD programs, and it is identical run over run.  Measured:
+# the deep-trapezoid mesh test drops 18.3 -> 5.7 s on a warm cache;
+# a cold run pays one-time compiles exactly as before.  Keys include
+# the HLO hash, so source changes invalidate automatically.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import pytest  # noqa: E402
 
 from wrf_tpu.grid import ConfigFlags  # noqa: E402

@@ -76,10 +76,8 @@ def test_degenerate_shell_still_diverges(balanced_case):
             > 1e3 * float(np.abs(balanced_case.fields["grid_t_2"]).max()))
 
 
-@pytest.mark.parametrize("kernel", [
-    pytest.param("xla", marks=pytest.mark.full),
-    "pallas",
-])
+@pytest.mark.full
+@pytest.mark.parametrize("kernel", ["xla", "pallas"])
 def test_mesh_closure_matches_golden(balanced_case, kernel):
     """10 closed-loop large steps: the mesh-decomposed integrator with
     NudgingTendencies tracks the golden path (the run_sim long-horizon

@@ -54,6 +54,7 @@ def test_blocked_equals_single_step(inner_steps, n_steps):
             np.asarray(ref[k]), np.asarray(blk[k]), err_msg=k)
 
 
+@pytest.mark.full
 def test_blocked_on_mesh_matches_single_step_on_mesh():
     """Under a 2x2 mesh the blocked scan is bit-identical to the
     single-step scan ON THE SAME MESH (cross-mesh-shape comparisons are
@@ -375,10 +376,11 @@ def test_blocked_fast_w_solve():
     P/M product scalings (ops/advance_mu_t_msteps._thomas_fast_vectors);
     absolute error is a few ulp of the dominant rhs scale per substep.
     Gate: the same fp32-tier tolerance every blocked path is held to.
-    (Quick tier: the depth-4 kernel at a small shape; the original wider
-    case and the hand-unrolled S=2 pair-kernel wiring run in ``full``.)"""
-    exact = _run_quick(4, with_w=True)
-    fast = _run_quick(4, with_w=True, fast=True)
+    (Quick tier: the generalized deep kernel at S=3, the cheapest depth
+    that engages it, at a small shape; the original wider S=4 case and
+    the hand-unrolled S=2 pair-kernel wiring run in ``full``.)"""
+    exact = _run_quick(3, with_w=True)
+    fast = _run_quick(3, with_w=True, fast=True)
     assert set(exact) == set(fast) and "w" in fast and "pp" in fast
     # the fast solver must actually have engaged
     assert any(not np.array_equal(np.asarray(exact[k]), np.asarray(fast[k]))
@@ -435,6 +437,7 @@ def test_blocked_fast_mode():
                                    err_msg=k)
 
 
+@pytest.mark.full
 def test_blocked_fast_mode_on_mesh():
     """fast mode composes with the 2-D mesh decomposition: same
     tolerance against the exact blocked scan on the same mesh."""
@@ -480,11 +483,8 @@ def test_coupled_blocked_on_mesh(mesh_shape):
                                    err_msg=k)
 
 
-@pytest.mark.parametrize("mesh_shape", [
-    pytest.param((4, 1), marks=pytest.mark.full),
-    (2, 2),   # both axes sharded: the quick-tier representative
-    pytest.param((1, 4), marks=pytest.mark.full),
-])
+@pytest.mark.full
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (1, 4)])
 def test_coupled_deep_blocked_on_mesh(mesh_shape):
     """Multi-chip depth-4 trapezoid: ring-4 halos (halo.widen_ring_to)
     with ONE width-4 exchange per block — same bytes as the per-substep

@@ -96,7 +96,7 @@ def _run(backend, ny, nx, K, n_sh, tj, seed=3):
 @pytest.mark.parametrize("n_sh,tj", [
     (4, 3),
     pytest.param(4, 2, marks=pytest.mark.full),
-    (2, 6),
+    pytest.param(2, 6, marks=pytest.mark.full),
     pytest.param(4, 6, marks=pytest.mark.full),
 ])
 def test_overlap_bit_equal_to_ppermute(n_sh, tj):
