@@ -180,9 +180,17 @@ def bench_marginal(mesh, case, nx, ny, nz, *, n1, n2, repeats=12,
 
 
 
+#: v5e HBM spec bandwidth.  A probe reading above this is a
+#: compiler-elided artifact (measured: the ALIASED copy at the 512-wide
+#: shape reads an impossible ~5.8 TB/s), never real bandwidth — such
+#: readings are discarded by measure_copy_ceiling.
+HBM_SPEC_GBPS = 819.0
+
+
 def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
-                      shape=(512, 50, 514), tj: int = 8) -> float:
-    """Measured bare read+write HBM ceiling: a Pallas identity-copy chain
+                      shape=(512, 50, 514), tj: int = 8,
+                      alias: bool = False) -> float:
+    """Measured bare read+write HBM rate: a Pallas copy chain
     (x -> copy(x), j-tiled like the production kernels), timed by the same
     marginal two-count method.  Pallas calls are opaque to XLA, so the
     scan cannot collapse the chain.  Returns GB/s (read+write bytes).
@@ -190,24 +198,35 @@ def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
     The ceiling is SHAPE-DEPENDENT (row length changes DMA efficiency):
     r03's CONUS S=1 row read 108.6% of a 512-wide ceiling — physically
     impossible, and the root cause was exactly this calibration gap
-    (VERDICT r03 weak #4).  The bench now measures one ceiling per
-    distinct config width and divides each row by ITS width's ceiling,
-    making >100% impossible unless the traffic model itself over-counts
-    (which the copy row then exposes: its model is exact by
-    construction)."""
+    (VERDICT r03 weak #4).  It is also ACCESS-PATTERN-DEPENDENT
+    (r04 probe study, 2026-08-20): the fresh-output A/B copy chain is
+    honest at 512-wide (508 GB/s, matched by the mu_t S=1 kernel at
+    100.3%) but collapses to ~290 GB/s at 1400+-lane rows regardless of
+    tj/alignment/J — while the production CONUS S=1 kernel demonstrably
+    streams 552 GB/s of enumerated traffic there.  The ``alias`` probe
+    (in-place update via input_output_aliases, the production kernels'
+    pattern) recovers 579 GB/s at 1500-wide.  measure_copy_ceiling
+    therefore takes the best plausible probe per width."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     J, K, I = shape
 
-    def kern(x_ref, o_ref):
-        o_ref[:] = x_ref[:]
+    if alias:
+        def kern(x_ref, o_ref):
+            # +1.0 so the copy cannot be elided as an identity
+            o_ref[:] = x_ref[:] + 1.0
+    else:
+        def kern(x_ref, o_ref):
+            o_ref[:] = x_ref[:]
 
     spec = pl.BlockSpec((tj, K, I), lambda g: (g, 0, 0),
                         memory_space=pltpu.VMEM)
     copy = pl.pallas_call(kern, grid=(J // tj,), in_specs=[spec],
                           out_specs=spec,
-                          out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))
+                          out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                          **({"input_output_aliases": {0: 0}}
+                             if alias else {}))
 
     times = {}
     for steps in (n1, n2):
@@ -228,6 +247,26 @@ def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
         times[steps] = best
     per = (times[n2] - times[n1]) / (n2 - n1)
     return 2 * J * K * I * 4 / per / 1e9
+
+
+def measure_copy_ceiling(shape) -> tuple[float, str]:
+    """Best PLAUSIBLE bare-copy rate over the probe family at ``shape``:
+    the A/B fresh-output chain and the aliased in-place chain (see
+    measure_copy_gbps).  Readings above HBM_SPEC_GBPS are discarded as
+    compiler-elided; the winning probe's name is returned for the
+    record.  Taking the max is what makes the number a CEILING — each
+    individual probe is only a lower bound on attainable bandwidth, and
+    r03/r04 showed a single probe can sit 1.9x under what production
+    kernels demonstrably sustain at the same width."""
+    best, src = 0.0, "none"
+    for name, kw in (("ab", {}), ("aliased", {"alias": True})):
+        try:
+            g = measure_copy_gbps(shape=shape, **kw)
+        except Exception:
+            continue
+        if g <= HBM_SPEC_GBPS and g > best:
+            best, src = g, name
+    return best, src
 
 
 def _wait_healthy() -> None:
@@ -315,7 +354,9 @@ def _emit(records, copy_gbps=None, detail_path=None):
     print(json.dumps(full), flush=True)
     rows = [[r.get("config", "?"), r.get("ms_per_step"),
              r.get("vs_baseline")]
-            for r in records if not r.get("error") and not r.get("skipped")]
+            for r in records
+            if not r.get("error") and not r.get("skipped")
+            and r.get("ms_per_step") is not None]
     short = {k: full[k] for k in
              ("metric", "value", "unit", "vs_baseline", "ms_per_step")}
     short.update(extra)
@@ -360,7 +401,14 @@ def main():
     copy_gbps = {}
     for width, shape in ((512, (512, 50, 514)), (1500, (1024, 50, 1502))):
         try:
-            copy_gbps[width] = measure_copy_gbps(shape=shape)
+            gbps, src = measure_copy_ceiling(shape)
+            if gbps > 0:
+                copy_gbps[width] = gbps
+                records.append({"config": f"(copy ceiling {width}w)",
+                                "gb_per_s": round(gbps, 1), "probe": src})
+            else:
+                records.append({"config": f"(copy ceiling {width}w)",
+                                "error": "no plausible probe reading"})
         except Exception as e:
             records.append({"config": f"(copy ceiling {width}w)",
                             "error": f"{type(e).__name__}: {e}"[:200]})

@@ -48,6 +48,10 @@ def main():
         ("noscan", "noscan", False),
         ("nophaseb", "nophaseb", False),
         ("floor", "noscan,nophaseb", False),
+        # streams only: wind/mass trapezoid arithmetic deleted too —
+        # the gap between this and the traffic model's stream time is
+        # the overlapping-window pipeline inefficiency
+        ("streams", "noscan,nophaseb,nowind", False),
     ]
     for name, ablate, fast in arms:
         env = dict(os.environ)

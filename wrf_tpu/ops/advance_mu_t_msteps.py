@@ -1437,25 +1437,40 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         pp_st = pp_ref[:]
 
     # ================== S substeps, extents shrinking ==================
+    _ablate = ablate_from_env()
     for s in range(S):
         r = S - 1 - s
-        p = cs2 * mu_c                           # extent +-(r+1)
-        pm = sl(p, mu_lo, r, r)
-        u_n = sl(u_c, u_lo, r, r) + jnp.where(
-            sl(u_mask_f, S, r, r),
-            sl(cu_e, S - 1, r, r) * (pm - roll_i(pm, 1)), F(0.0))
-        v_n = sl(v_c, v_lo, r, r + 1) + jnp.where(
-            sl(v_mask_f, S, r, r + 1),
-            sl(cv_e, S - 1, r, r + 1)
-            * (sl(p, mu_lo, r, r + 1) - sl(p, mu_lo, r + 1, r)), F(0.0))
-        dvdxi = sl(dvc_e, S - 1, r, r) + sl(msft2_e, S - 1, r, r) * (
-            rdy * (v_n[1:] - v_n[:-1]) + rdx * (roll_i(u_n, -1) - u_n))
-        dmdt = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi, F(0.0)),
-                       axis=1, keepdims=True)
-        mu_n = jnp.where(
-            sl(mask_f, S, r, r),
-            sl(mu_c, mu_lo, r, r) + dts * (dmdt + sl(mute_e, S - 1, r, r)),
-            sl(mu_c, mu_lo, r, r))
+        if "nowind" in _ablate:
+            # perf-debug (WRF_TPU_ABLATE=nowind): delete the wind/mass
+            # trapezoid arithmetic but keep every operand stream — with
+            # noscan,nophaseb this measures the kernel's pure
+            # stream/pipeline floor (outputs NOT physical; see
+            # tools/coupled_decomp.py)
+            u_n = sl(u_c, u_lo, r, r)
+            v_n = sl(v_c, v_lo, r, r + 1)
+            dvdxi = sl(dvc_e, S - 1, r, r)
+            dmdt = dvdxi[:, :1, :] * F(0.0)
+            mu_n = sl(mu_c, mu_lo, r, r)
+        else:
+            p = cs2 * mu_c                           # extent +-(r+1)
+            pm = sl(p, mu_lo, r, r)
+            u_n = sl(u_c, u_lo, r, r) + jnp.where(
+                sl(u_mask_f, S, r, r),
+                sl(cu_e, S - 1, r, r) * (pm - roll_i(pm, 1)), F(0.0))
+            v_n = sl(v_c, v_lo, r, r + 1) + jnp.where(
+                sl(v_mask_f, S, r, r + 1),
+                sl(cv_e, S - 1, r, r + 1)
+                * (sl(p, mu_lo, r, r + 1) - sl(p, mu_lo, r + 1, r)),
+                F(0.0))
+            dvdxi = sl(dvc_e, S - 1, r, r) + sl(msft2_e, S - 1, r, r) * (
+                rdy * (v_n[1:] - v_n[:-1]) + rdx * (roll_i(u_n, -1) - u_n))
+            dmdt = jnp.sum(jnp.where(kmask_upd, dnw * dvdxi, F(0.0)),
+                           axis=1, keepdims=True)
+            mu_n = jnp.where(
+                sl(mask_f, S, r, r),
+                sl(mu_c, mu_lo, r, r)
+                + dts * (dmdt + sl(mute_e, S - 1, r, r)),
+                sl(mu_c, mu_lo, r, r))
 
         steps_c = (-dnw * lc(sl(dmdt, r, 0, 0) + sl(dvdxi, r, 0, 0)
                              + mutend_c)) * inv_msfty
