@@ -511,6 +511,22 @@ def test_coupled_deep_blocked_on_mesh(mesh_shape):
                                    err_msg=k)
 
 
+def test_coupled_deep_ablation_arms_trace(monkeypatch):
+    """The perf-debug ablation arms (WRF_TPU_ABLATE, read at trace time)
+    must keep TRACING as the kernel evolves — tools/coupled_decomp.py's
+    chip decomposition depends on them.  One combined build exercises
+    all three branches (noscan + nophaseb + nowind = the stream-floor
+    arm); outputs are non-physical by design, so only finiteness and
+    shape survival are asserted."""
+    import wrf_tpu.ops.advance_mu_t_pallas as amp
+
+    monkeypatch.setenv("WRF_TPU_ABLATE", "noscan,nophaseb,nowind")
+    monkeypatch.setattr(amp, "_ABLATE_WARNED", False)
+    out = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, 3, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
 def test_coupled_blocked_fast_scan():
     """Coupled pairs with the log-depth ww cumsum (fast=True): tolerance-
     equal to the exact blocked path."""

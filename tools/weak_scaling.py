@@ -125,7 +125,7 @@ MEASURED = {
 }
 
 
-def model_prediction(tile, nz, halo_backend="rdma_overlap",
+def model_prediction(tile, nz, halo_backend="ppermute",
                      inner_steps=1) -> dict:
     """Analytic weak-scaling efficiency at this tile from single-chip
     measurables: the MEASURED per-substep exchange overhead of the
