@@ -511,6 +511,27 @@ def test_coupled_deep_blocked_on_mesh(mesh_shape):
                                    err_msg=k)
 
 
+def test_regscan_tolerance_equal(monkeypatch):
+    """WRF_TPU_REGSCAN=1 (register-chain exact ww scan, deep kernel
+    only) performs the same adds in the same order as the scratch
+    sweeps; a single deep pass is bit-identical (verified at S=4), but
+    the different materialization moves XLA's fusion boundaries in the
+    surrounding theta arithmetic, so multi-pass runs drift by the
+    trapezoid's documented last-ulp-per-substep class (measured 2.3e-7
+    rel on t over 5 substeps).  Chip A/B measured the form SLOWER
+    (0.556 vs 0.526 ms/substep, 2026-08-20), so scratch stays the
+    default; the knob survives as the documented falsified attempt and
+    must keep tracing within the suite tolerance."""
+    base = _run_quick(3)
+    monkeypatch.setenv("WRF_TPU_REGSCAN", "1")
+    reg = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, _QSTEPS, 3)
+    for k in sorted(base):
+        a, b = np.asarray(base[k]), np.asarray(reg[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
 def test_coupled_deep_ablation_arms_trace(monkeypatch):
     """The perf-debug ablation arms (WRF_TPU_ABLATE, read at trace time)
     must keep TRACING as the kernel evolves — tools/coupled_decomp.py's

@@ -61,10 +61,23 @@ F = jnp.float32
 # depth-S trapezoid (identical FP association — hoisting them here is
 # bit-preserving; a numerics change lands in both paths at once).
 # ------------------------------------------------------------------ #
+def _reg_scan() -> bool:
+    """WRF_TPU_REGSCAN=1: run the exact sequential ww scan as a
+    register chain instead of scratch sweeps — same adds in the same
+    order (one deep pass is bit-identical), but the materialization
+    shift moves XLA fusion boundaries in the surrounding theta
+    arithmetic, so multi-pass runs sit in the trapezoid's last-ulp
+    tolerance class rather than bit-equality.  Trace-time A/B knob,
+    like WRF_TPU_DEEP_UNROLL; measured SLOWER on chip (see ww_scan),
+    kept as the documented falsified attempt."""
+    return os.environ.get("WRF_TPU_REGSCAN", "0") != "0"
+
+
 def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
                    tcon, interp, rdnw3, t1c, t1_jp, t1_jm, t1_ip, t1_im,
                    msftx, msfty, rdx, rdy, dts, fast_scan, K, k0, k1,
-                   lc=None, ablate: str = "", unroll: bool = False):
+                   lc=None, ablate: str = "", unroll: bool = False,
+                   regscan_ok: bool = False):
     """(ww_scan, theta): the seeded vertical ww scan (sequential in-VMEM
     fori_loop, or the re-associated log-depth masked cumsum under
     ``fast_scan``) and the center-row theta update.
@@ -95,6 +108,30 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
                 y = y + jnp.where(kiota >= d, roll_k(y, d), F(0.0))
                 d *= 2
             return jnp.where(kmask_upd & mask_c, seed + y, F(0.0))
+        if regscan_ok and _reg_scan() and "noscan" not in ablate:
+            # register-chain form: the IDENTICAL left-to-right adds
+            # (bit-equal to the scratch sweeps) but the running row
+            # stays a value — no scratch read-modify-write per level;
+            # one concat materializes the (tj, K, I) result.
+            # WRF_TPU_REGSCAN=1 A/B knob; DEEP kernel only
+            # (``regscan_ok``) — the pair kernel's callers consume
+            # scan_ref's post-scan contents, which this form never
+            # writes.  Chip A/B 2026-08-20: LOSES on the deep coupled
+            # kernel (0.556 vs 0.526 ms/substep at 512^2 S=4 tj=12),
+            # so the scratch sweep stays the default and the knob
+            # survives as the documented falsified attempt.
+            stepped = roll_k(steps, 1)
+            rows = [seed]
+            for k in range(k0 + 1, k1 + 1):
+                rows.append(rows[-1] + stepped[:, k : k + 1, :])
+            parts = []
+            if k0:
+                parts.append(jnp.zeros_like(stepped[:, :k0, :]))
+            parts.extend(rows)
+            if k1 + 1 < K:
+                parts.append(jnp.zeros_like(stepped[:, k1 + 1 :, :]))
+            y = jnp.concatenate(parts, axis=1)
+            return jnp.where(kmask_upd & mask_c, y, F(0.0))
         scan_ref[:] = roll_k(steps, 1)
         scan_ref[:, k0 : k0 + 1, :] = seed
         if "noscan" not in ablate:   # perf-debug (WRF_TPU_ABLATE)
@@ -1420,7 +1457,7 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         t1_jm=t1_jm, t1_ip=t1_ip, t1_im=t1_im, msftx=msftx, msfty=msfty,
         rdx=rdx, rdy=rdy, dts=dts, fast_scan=fast_scan, K=K, k0=k0,
         k1=k1, lc=lc, ablate=ablate_from_env(),
-        unroll=_deep_unroll(ti, fuse_w))
+        unroll=_deep_unroll(ti, fuse_w), regscan_ok=True)
 
     if fuse_w:
         w_step = _w_solver(
