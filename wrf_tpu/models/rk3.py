@@ -77,17 +77,36 @@ class RK3Integrator:
         # ``halo_backend`` selects the per-substep exchange for every
         # stage loop (SmallStepLoop docstring): "ppermute" collectives,
         # "rdma" exchange-then-compute remote DMA, or "rdma_overlap" —
-        # the exchange fused into the substep kernel and hidden under
-        # its interior tiles' compute.  The blocked (inner_steps>1)
-        # stages keep their width-S ppermute exchange; stage 1 always
-        # runs 1 substep, so it benefits from overlap even then.
+        # the exchange fused into the substep (or block) kernel and
+        # hidden under its interior tiles' compute.  Every backend now
+        # passes through to every stage, including the blocked
+        # (inner_steps>1) trapezoid stages — the width-S overlapped
+        # in-kernel block exchange (SmallStepLoop/coupled_multistep
+        # ``overlap``) serves them — EXCEPT the plain "rdma" backend,
+        # which has no width-S exchange kernel: those stages downgrade
+        # to the width-S ppermute block refresh, loudly.
+        def stage_backend(n_sub: int) -> str:
+            # downgrade only the stages whose blocked path actually
+            # engages (rem = n_sub-1 >= S); shorter stages run the
+            # supported per-substep rdma exchange untouched
+            if (halo_backend == "rdma" and inner_steps > 1
+                    and n_sub - 1 >= inner_steps):
+                import warnings
+                warnings.warn(
+                    "RK3 blocked stage (inner_steps="
+                    f"{inner_steps}, n_sub={n_sub}): halo_backend "
+                    "'rdma' has no width-S block exchange — this "
+                    "stage uses the width-S ppermute refresh instead "
+                    "(use 'rdma_overlap' for an in-kernel blocked "
+                    "exchange)", stacklevel=3)
+                return "ppermute"
+            return halo_backend
+
         self.loops = [
             SmallStepLoop(mesh, nx, ny, nz, flags, n_steps=n_sub,
                           kernel=kernel, cs2=cs2, with_w=with_w,
                           smdiv=smdiv, interpret=interpret,
-                          halo_backend=(halo_backend
-                                        if inner_steps == 1 or n_sub == 1
-                                        else "ppermute"),
+                          halo_backend=stage_backend(n_sub),
                           const_dtype=const_dtype,
                           inner_steps=inner_steps, fast=fast,
                           tj=tj, ti=ti)

@@ -141,8 +141,13 @@ class SmallStepLoop:
           tiles' compute — SURVEY.md §7's "overlapped with interior
           compute" design point.  Same bit-exact values as the other
           backends (identical exchanged rows; only the schedule
-          differs).  Requires the fused pallas kernel, inner_steps=1,
-          and no divergence damping.
+          differs).  Requires the fused pallas kernel.  Divergence
+          damping is supported (mudf rides the staged exchange), and
+          ``inner_steps>1`` is supported via the width-S trapezoid
+          block exchange fused into the block kernel
+          (coupled_multistep_pallas ``overlap``); the only remaining
+          exclusion is lane tiling (``ti``), which is not composed
+          with the in-kernel exchange yet.
 
         Both rdma backends require compiled execution (the Pallas
         interpreter cannot discharge remote DMAs on multi-axis meshes).
@@ -186,9 +191,14 @@ class SmallStepLoop:
                 raise ValueError("inner_steps>1 does not support smdiv "
                                  "yet (mudf would need its own extended "
                                  "rows)")
-            if halo_backend == "rdma" and (
-                    mesh.shape["j"] > 1 or force_exchange):
-                raise ValueError("inner_steps>1 uses the width-S "
+            if (halo_backend == "rdma"
+                    and n_steps - 1 >= inner_steps
+                    and (mesh.shape["j"] > 1 or force_exchange)):
+                # only rejected when the blocked path actually engages
+                # (rem >= S); with fewer substeps every exchange runs
+                # on the supported per-substep rdma kernel
+                raise ValueError("blocked substeps (n_steps-1 >= "
+                                 "inner_steps) use the width-S "
                                  "ppermute exchange or the overlapped "
                                  "in-kernel exchange (rdma_overlap); "
                                  "the plain rdma backend covers the "
