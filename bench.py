@@ -112,15 +112,17 @@ SPECS = [
      True, True, False, "4f", (50, 250), 8),
     ("coupled CONUS 1500x1500x50",
      1500, 1500, 50, True, False, False, 4, (20, 80), 4),
+    # unblocked CONUS continuity row, AHEAD of the bf16 rows with
+    # trimmed counts (it needs round-over-round continuity, not
+    # precision): r04 ran it last and the driver window expired mid-row
+    # (VERDICT r04 weak #6/task 5)
+    ("coupled CONUS 1500x1500x50 S=1",
+     1500, 1500, 50, True, False, False, 1, (10, 40), None),
     # opt-in reduced-precision constant streams (state/outputs f32)
     ("mu_t 512x512x50 bf16-const",
      512, 512, 50, False, False, True, 8, (50, 250), None),
     ("coupled 512x512x50 bf16-const",
      512, 512, 50, True, False, True, 4, (50, 250), None),
-    # unblocked CONUS continuity row, last: the costliest compiles, the
-    # first to be dropped by the time budget
-    ("coupled CONUS 1500x1500x50 S=1",
-     1500, 1500, 50, True, False, False, 1, (20, 80), None),
 ]
 
 
@@ -189,7 +191,7 @@ HBM_SPEC_GBPS = 819.0
 
 def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
                       shape=(512, 50, 514), tj: int = 8,
-                      alias: bool = False) -> float:
+                      alias: bool = False, plus1: bool = False) -> float:
     """Measured bare read+write HBM rate: a Pallas copy chain
     (x -> copy(x), j-tiled like the production kernels), timed by the same
     marginal two-count method.  Pallas calls are opaque to XLA, so the
@@ -206,13 +208,19 @@ def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
     streams 552 GB/s of enumerated traffic there.  The ``alias`` probe
     (in-place update via input_output_aliases, the production kernels'
     pattern) recovers 579 GB/s at 1500-wide.  measure_copy_ceiling
-    therefore takes the best plausible probe per width."""
+    therefore takes the best plausible probe per width.
+
+    ``plus1`` adds +1.0 without aliasing — the third arm that separates
+    the two confounded differences between the "ab" and "aliased"
+    probes (ADVICE r04: the aliased probe changed BOTH the access
+    pattern and the arithmetic at once, so the 579 GB/s recovery could
+    not be attributed to in-place access alone)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     J, K, I = shape
 
-    if alias:
+    if alias or plus1:
         def kern(x_ref, o_ref):
             # +1.0 so the copy cannot be elided as an identity
             o_ref[:] = x_ref[:] + 1.0
@@ -249,24 +257,30 @@ def measure_copy_gbps(n1: int = 20, n2: int = 100, repeats: int = 12,
     return 2 * J * K * I * 4 / per / 1e9
 
 
-def measure_copy_ceiling(shape) -> tuple[float, str]:
+def measure_copy_ceiling(shape) -> tuple[float, str, str]:
     """Best PLAUSIBLE bare-copy rate over the probe family at ``shape``:
-    the A/B fresh-output chain and the aliased in-place chain (see
+    the A/B fresh-output chain, the +1.0 fresh-output chain (arithmetic
+    arm, no aliasing), and the aliased in-place +1.0 chain (see
     measure_copy_gbps).  Readings above HBM_SPEC_GBPS are discarded as
     compiler-elided; the winning probe's name is returned for the
     record.  Taking the max is what makes the number a CEILING — each
     individual probe is only a lower bound on attainable bandwidth, and
     r03/r04 showed a single probe can sit 1.9x under what production
-    kernels demonstrably sustain at the same width."""
-    best, src = 0.0, "none"
-    for name, kw in (("ab", {}), ("aliased", {"alias": True})):
+    kernels demonstrably sustain at the same width.  Returns
+    ``(gbps, probe_name, last_error)`` — ``last_error`` carries the
+    final probe exception when every probe failed (ADVICE r04: a bare
+    ``continue`` used to swallow the reason)."""
+    best, src, err = 0.0, "none", ""
+    for name, kw in (("ab", {}), ("ab_plus1", {"plus1": True}),
+                     ("aliased", {"alias": True})):
         try:
             g = measure_copy_gbps(shape=shape, **kw)
-        except Exception:
+        except Exception as e:
+            err = f"{name}: {type(e).__name__}: {e}"[:200]
             continue
         if g <= HBM_SPEC_GBPS and g > best:
             best, src = g, name
-    return best, src
+    return best, src, err
 
 
 def _wait_healthy() -> None:
@@ -276,6 +290,73 @@ def _wait_healthy() -> None:
     from wrf_tpu.utils.health import wait_healthy_inline
 
     wait_healthy_inline()
+
+
+#: r04 canonical per-substep exchange overheads at the 128^2 knee
+#: (SCALING.md "canonical table", tools/bench_halo.py 2026-08-20) —
+#: the stability panel reports deltas against these so stack drift is
+#: visible in the round records themselves
+R04_PANEL_US = {"ppermute": 25.8, "rdma": 38.8, "rdma_overlap": 43.2}
+
+
+def stability_panel(mesh, nx=128, ny=128, nz=50, n1=100, n2=800,
+                    repeats=8,
+                    backends=("ppermute", "rdma", "rdma_overlap")):
+    """Per-round drift panel: per-substep self-ring exchange overhead for
+    the three halo backends at the 128^2x50 latency knee (the
+    tools/bench_halo.py protocol, trimmed), as one bench record with
+    deltas vs the r04 canonical numbers.  On a (1,1) mesh
+    ``force_exchange=True`` runs the identical in-scan exchange code
+    (real collective-permute / RDMA ops in the compiled HLO), so this
+    measures launch/scheduling cost minus ICI wire time — exactly the
+    quantity that reversed between r03 and r04."""
+    from wrf_tpu.io import fixtures
+    from wrf_tpu.models.small_step import SmallStepLoop
+    from wrf_tpu.parallel.sharded import case_to_domain
+    from wrf_tpu.utils.timing import blocked_counts
+
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+    t0 = time.perf_counter()
+
+    def marginal(**kw):
+        m1, m2 = blocked_counts(kw.get("inner_steps", 1), n1, n2)
+        times = {}
+        for steps in (m1, m2):
+            loop = SmallStepLoop(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, **kw)
+            arrays = loop.prepare(case_to_domain(case))
+            run = _make_run(loop, arrays,
+                            (case.rdx, case.rdy, case.dts, case.epssm))
+            assert np.isfinite(run())
+            best = float("inf")
+            for _ in range(repeats):
+                s = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - s)
+            times[steps] = best
+        return (times[m2] - times[m1]) / (m2 - m1)
+
+    # the no-exchange base runs TWICE (independent builds): its spread
+    # is the same-day noise floor of every overhead below — two r05
+    # same-day panels differed by ~15 us/arm, so a drift claim is only
+    # meaningful beyond this number
+    base = marginal(force_exchange=False)
+    base2 = marginal(force_exchange=False)
+    noise_us = abs(base - base2) * 1e6
+    base = min(base, base2)
+    over, delta = {}, {}
+    for backend in backends:
+        per = marginal(force_exchange=True, halo_backend=backend)
+        us = max((per - base) * 1e6, 0.0)
+        over[backend] = round(us, 1)
+        if backend in R04_PANEL_US:
+            delta[backend] = round(us - R04_PANEL_US[backend], 1)
+    return {"config": f"(stability panel {nx}x{ny}x{nz})",
+            "base_ms_per_substep": round(base * 1e3, 4),
+            "base_spread_noise_us": round(noise_us, 1),
+            "exchange_overhead_us": over,
+            "delta_vs_r04_us": delta,
+            "t_s": round(time.perf_counter() - t0, 1)}
 
 
 HEADLINE = "mu_t 512x512x50 exact S=8"
@@ -300,10 +381,39 @@ def _bandwidth_fields(nx, ny, nz, *, coupled, with_w, bf16, S, tj,
     gbps = tr.bytes_per_substep / per_substep_s / 1e9
     out = {"gb_per_s": round(gbps, 1),
            "modeled_mb_per_substep": round(tr.bytes_per_substep / 1e6, 1),
-           "tj": tj}
+           "tj": tj, "width_class": 512 if nx <= 768 else 1500}
     if copy_gbps:
         out["pct_copy_ceiling"] = round(100 * gbps / copy_gbps, 1)
     return out
+
+
+def finalize_ceilings(records, copy_gbps):
+    """Clamp each width's ceiling UP to the best bandwidth a production
+    (non-fast) kernel demonstrably achieved in the same run, then
+    recompute every pct_copy_ceiling against the final number.  An
+    achieved rate is a lower bound on attainable bandwidth, so a probe
+    ceiling below it is simply a probe shortfall — r05 measured the
+    512-wide ab probe drifting 476-508 GB/s across same-day runs while
+    the mu_t S=1 kernel streamed 538, which printed an unphysical
+    112.9% row (the exact failure class VERDICT r03 flagged)."""
+    for width in list(copy_gbps):
+        achieved = [r["gb_per_s"] for r in records
+                    if r.get("width_class") == width
+                    and r.get("gb_per_s") and not r.get("fast")]
+        best = max(achieved, default=0.0)
+        if best > copy_gbps[width]:
+            copy_gbps[width] = best
+            for r in records:
+                if r.get("config", "").startswith(
+                        f"(copy ceiling {width}w)"):
+                    r["achieved_floor_gb_per_s"] = round(best, 1)
+                    r["note"] = ("probe shortfall: a production kernel "
+                                 "achieved more; ceiling raised to it")
+    for r in records:
+        w = r.get("width_class")
+        if w in copy_gbps and r.get("gb_per_s"):
+            r["pct_copy_ceiling"] = round(
+                100 * r["gb_per_s"] / copy_gbps[w], 1)
 
 
 def _emit(records, copy_gbps=None, detail_path=None):
@@ -382,6 +492,7 @@ def main():
 
     def _on_term(signum, frame):
         records.append({"config": "(killed)", "error": f"signal {signum}"})
+        finalize_ceilings(records, copy_gbps)
         _emit(records, copy_gbps, detail_path=detail)
         # partial-but-valid: the headline row runs first, so a kill
         # after it should not read as a failed bench
@@ -390,8 +501,30 @@ def main():
         raise SystemExit(0 if got_head else 1)
 
     signal.signal(signal.SIGTERM, _on_term)
-    budget_s = float(os.environ.get("WRF_TPU_BENCH_BUDGET_S", 2700))
+    # 2100 s: r04's 2700 s budget exceeded the driver window (rc 124, a
+    # row killed mid-run) — the internal gate must stop STARTING rows
+    # early enough that the matrix finishes inside the external window
+    budget_s = float(os.environ.get("WRF_TPU_BENCH_BUDGET_S", 2100))
     t_start = time.perf_counter()
+
+    # Persistent XLA/Mosaic compilation cache (repo-local, gitignored).
+    # The r05 trial measured the matrix COMPILE-bound: the coupled+w
+    # fast row alone took 533 s and the CONUS S=4 row exceeded 20 min,
+    # so the 12-row matrix cannot fit any driver window cold.  The
+    # bench times marginal RUN cost (compile excluded by construction),
+    # so caching compiles across builds/rounds changes no measurement —
+    # it only makes the matrix fit (VERDICT r04 task 5).  Keys include
+    # the HLO hash: source changes invalidate automatically.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_bench_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+    except Exception as e:
+        print(f"bench: no persistent compile cache ({e})",
+              file=__import__("sys").stderr)
 
     _wait_healthy()
     mesh = make_mesh([jax.devices()[0]], (1, 1))
@@ -400,18 +533,31 @@ def main():
     # (shape-matched calibration; see measure_copy_gbps docstring)
     copy_gbps = {}
     for width, shape in ((512, (512, 50, 514)), (1500, (1024, 50, 1502))):
+        t0 = time.perf_counter()
         try:
-            gbps, src = measure_copy_ceiling(shape)
+            gbps, src, perr = measure_copy_ceiling(shape)
             if gbps > 0:
                 copy_gbps[width] = gbps
                 records.append({"config": f"(copy ceiling {width}w)",
-                                "gb_per_s": round(gbps, 1), "probe": src})
+                                "gb_per_s": round(gbps, 1), "probe": src,
+                                "t_s": round(time.perf_counter() - t0, 1)})
             else:
                 records.append({"config": f"(copy ceiling {width}w)",
-                                "error": "no plausible probe reading"})
+                                "error": "no plausible probe reading"
+                                         + (f" ({perr})" if perr else "")})
         except Exception as e:
             records.append({"config": f"(copy ceiling {width}w)",
                             "error": f"{type(e).__name__}: {e}"[:200]})
+
+    # per-round stability panel (VERDICT r04 task 7): the three exchange
+    # overheads at the 128^2 latency knee, self-ring — the quantity whose
+    # r03->r04 ordering reversal proved the worker stack drifts.  Runs
+    # right after the probes so every BENCH_r*.json carries it.
+    try:
+        records.append(stability_panel(mesh))
+    except Exception as e:
+        records.append({"config": "(stability panel)",
+                        "error": f"{type(e).__name__}: {e}"[:200]})
 
     for (name, nx, ny, nz, coupled, with_w, bf16, inner, (n1, n2),
          tj) in SPECS:
@@ -422,6 +568,7 @@ def main():
         inner = int(str(inner).rstrip("f"))
         case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
         pts = nx * ny * nz
+        t_row = time.perf_counter()
         try:
             per = bench_marginal(mesh, case, nx, ny, nz, n1=n1, n2=n2,
                                  coupled=coupled, with_w=with_w, bf16=bf16,
@@ -434,6 +581,7 @@ def main():
                 "method": "marginal",
                 **({"inner_steps": inner} if inner > 1 else {}),
                 **({"fast": True} if fast else {}),
+                "t_s": round(time.perf_counter() - t_row, 1),
             }
             # achieved bandwidth from the enumerated-stream traffic model
             # (wrf_tpu/utils/traffic.py); fast mode collapses the substep
@@ -449,6 +597,7 @@ def main():
             records.append({"config": name,
                             "error": f"{type(e).__name__}: {e}"[:300]})
 
+    finalize_ceilings(records, copy_gbps)
     _emit(records, copy_gbps, detail_path=detail)
 
 

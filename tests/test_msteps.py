@@ -250,8 +250,17 @@ def test_coupled_inner_steps_validation():
         SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
                       smdiv=0.1)
     with pytest.raises(ValueError):
-        SmallStepLoop(mesh1, 16, 12, 8, case.flags, inner_steps=2,
-                      halo_backend="rdma", force_exchange=True)
+        # rdma has no width-S block exchange — rejected when the
+        # blocked path engages (n_steps-1 >= inner_steps; an
+        # inner_steps>1 CONFIG whose loop is too short to block runs
+        # the per-substep rdma path and is legal, models/rk3.py)
+        SmallStepLoop(mesh1, 16, 12, 8, case.flags, n_steps=5,
+                      inner_steps=2, halo_backend="rdma",
+                      force_exchange=True)
+    # ...and the same config with a too-short loop constructs fine
+    SmallStepLoop(mesh1, 16, 12, 8, case.flags, n_steps=2,
+                  inner_steps=2, halo_backend="rdma",
+                  force_exchange=True)
 
 
 # ------------------------------------------------------------------ #
@@ -522,9 +531,21 @@ def test_regscan_tolerance_equal(monkeypatch):
     (0.556 vs 0.526 ms/substep, 2026-08-20), so scratch stays the
     default; the knob survives as the documented falsified attempt and
     must keep tracing within the suite tolerance."""
+    import wrf_tpu.ops.advance_mu_t_msteps as msteps
+
     base = _run_quick(3)
     monkeypatch.setenv("WRF_TPU_REGSCAN", "1")
+    # engagement spy (ADVICE r04): if the env plumbing or regscan_ok
+    # wiring regressed, both runs would take the scratch path and the
+    # tolerance comparison below would pass vacuously — record the real
+    # _reg_scan results and require the register-chain branch was
+    # actually selected at least once during tracing
+    seen = []
+    real = msteps._reg_scan
+    monkeypatch.setattr(msteps, "_reg_scan",
+                        lambda: seen.append(real()) or seen[-1])
     reg = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, _QSTEPS, 3)
+    assert any(seen), "register-chain scan path never engaged"
     for k in sorted(base):
         a, b = np.asarray(base[k]), np.asarray(reg[k])
         scale = max(float(np.max(np.abs(a))), 1.0)
@@ -546,6 +567,52 @@ def test_coupled_deep_ablation_arms_trace(monkeypatch):
     out = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, 3, 3)
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+@pytest.mark.parametrize("ablate", ["scan2x", "theta2x"])
+def test_slack_attribution_arms_trace(monkeypatch, ablate):
+    """The scan2x/theta2x slack-attribution arms (duplicate a phase
+    in-schedule; tools/coupled_decomp.py r05) must trace AND engage —
+    scan2x's double-scanned ww feeds theta, so t diverges from the
+    exact run (the final ww itself comes from the closing single-step
+    kernel, which the arm does not touch); theta2x engages only via
+    its guard select, so its check is finiteness + trace survival."""
+    import wrf_tpu.ops.advance_mu_t_pallas as amp
+
+    exact = _run_quick(3)
+    monkeypatch.setenv("WRF_TPU_ABLATE", ablate)
+    monkeypatch.setattr(amp, "_ABLATE_WARNED", False)
+    out = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, _QSTEPS, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    if ablate == "scan2x":
+        assert not np.array_equal(np.asarray(out["t"]),
+                                  np.asarray(exact["t"])), \
+            "scan2x did not engage (t unchanged)"
+
+
+@pytest.mark.parametrize("ablate", ["nosolve", "nowstep",
+                                    "nowstep,noscan,nophaseb,nowind"])
+def test_coupled_w_ablation_arms_trace(monkeypatch, ablate):
+    """The with_w decomposition arms (VERDICT r04 task 2: nosolve
+    deletes the two sequential Thomas sweeps, nowstep the whole
+    implicit substep, the combined string is the +w stream floor) must
+    keep tracing — tools/coupled_decomp.py --with-w depends on them.
+    nosolve/nowstep must also actually ENGAGE: their w output must
+    differ from the exact kernel's (outputs are non-physical by
+    design; finiteness plus divergence are the assertions)."""
+    import wrf_tpu.ops.advance_mu_t_pallas as amp
+
+    exact = _run_quick(3, with_w=True)
+    monkeypatch.setenv("WRF_TPU_ABLATE", ablate)
+    monkeypatch.setattr(amp, "_ABLATE_WARNED", False)
+    out = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, _QSTEPS, 3,
+                       with_w=True)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert not np.array_equal(np.asarray(out["w"]),
+                              np.asarray(exact["w"])), \
+        f"{ablate} did not engage (w unchanged)"
 
 
 def test_coupled_blocked_fast_scan():

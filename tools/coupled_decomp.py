@@ -10,7 +10,18 @@ Arms (each its own process-env build, two-build marginal at
   nophaseb         WRF_TPU_ABLATE=nophaseb  (theta stencil removed)
   floor            WRF_TPU_ABLATE=noscan,nophaseb (streams + winds only)
 
-Usage: python tools/coupled_decomp.py [S [tj]]
+With ``--with-w`` (VERDICT r04 task 2) the arms decompose the
+coupled+w stack instead — the weakest production row:
+  exact+w          the production coupled+w kernel
+  fast+w           log-depth ww cumsum AND scaled-cumsum Thomas solve
+  nosolve          WRF_TPU_ABLATE=nosolve  (the two sequential Thomas
+                   sweeps deleted; rhs/masks/pp update kept)
+  nowstep          WRF_TPU_ABLATE=nowstep  (whole implicit substep
+                   deleted; w/pp still streamed as carried state)
+  floor+w          WRF_TPU_ABLATE=nowstep,noscan,nophaseb,nowind
+                   (streams only, incl. w/pp)
+
+Usage: python tools/coupled_decomp.py [S [tj]] [--with-w]
 """
 
 import os
@@ -34,25 +45,43 @@ mesh = make_mesh([jax.devices()[0]], (1, 1))
 nx = ny = 512; nz = 50
 case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
 per = marginal(mesh, case, nx, ny, nz, {S}, False, tj={tj},
-               coupled=True, fast={fast})
+               coupled=True, with_w={with_w}, fast={fast})
 print(f"RESULT {{per*1e3:.4f}}", flush=True)
 """
 
 
 def main():
-    S = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    tj = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    arms = [
-        ("exact", "", False),
-        ("fast", "", True),
-        ("noscan", "noscan", False),
-        ("nophaseb", "nophaseb", False),
-        ("floor", "noscan,nophaseb", False),
-        # streams only: wind/mass trapezoid arithmetic deleted too —
-        # the gap between this and the traffic model's stream time is
-        # the overlapping-window pipeline inefficiency
-        ("streams", "noscan,nophaseb,nowind", False),
-    ]
+    with_w = "--with-w" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    S = int(pos[0]) if pos else 4
+    tj = int(pos[1]) if len(pos) > 1 else (8 if with_w else 12)
+    if with_w:
+        arms = [
+            ("exact+w", "", False),
+            ("fast+w", "", True),
+            ("nosolve", "nosolve", False),
+            ("nowstep", "nowstep", False),
+            ("floor+w", "nowstep,noscan,nophaseb,nowind", False),
+        ]
+    else:
+        arms = [
+            ("exact", "", False),
+            ("fast", "", True),
+            ("noscan", "noscan", False),
+            ("nophaseb", "nophaseb", False),
+            ("floor", "noscan,nophaseb", False),
+            # streams only: wind/mass trapezoid arithmetic deleted too —
+            # the gap between this and the traffic model's stream time
+            # is the overlapping-window pipeline inefficiency
+            ("streams", "noscan,nophaseb,nowind", False),
+            # slack-attribution arms (r05): DUPLICATE a phase instead
+            # of removing it — the schedule stays intact, so the delta
+            # vs exact is that phase's truly EXPOSED cost (delta ~=
+            # the removal delta => no pipeline slack; delta << removal
+            # delta => Mosaic left slack the phase could hide in)
+            ("scan2x", "scan2x", False),
+            ("theta2x", "theta2x", False),
+        ]
     for name, ablate, fast in arms:
         env = dict(os.environ)
         if ablate:
@@ -63,16 +92,18 @@ def main():
         t0 = time.time()
         out = subprocess.run(
             [sys.executable, "-c",
-             CHILD.format(here=HERE, S=S, tj=tj, fast=fast)],
+             CHILD.format(here=HERE, S=S, tj=tj, fast=fast,
+                          with_w=with_w)],
             env=env, capture_output=True, text=True, timeout=1200)
         val = [ln for ln in out.stdout.splitlines()
                if ln.startswith("RESULT")]
         if val:
-            print(f"coupled S={S} tj={tj} {name:9s}: "
+            tag = "coupled+w" if with_w else "coupled"
+            print(f"{tag} S={S} tj={tj} {name:9s}: "
                   f"{val[0].split()[1]} ms/substep "
                   f"[{time.time()-t0:.0f}s]", flush=True)
         else:
-            print(f"coupled S={S} tj={tj} {name:9s}: FAILED\n"
+            print(f"coupled{'+w' if with_w else ''} S={S} tj={tj} {name:9s}: FAILED\n"
                   f"{out.stderr[-800:]}", flush=True)
 
 

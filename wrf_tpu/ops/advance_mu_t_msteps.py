@@ -134,23 +134,35 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
             return jnp.where(kmask_upd & mask_c, y, F(0.0))
         scan_ref[:] = roll_k(steps, 1)
         scan_ref[:, k0 : k0 + 1, :] = seed
+        # "scan2x" (WRF_TPU_ABLATE slack-attribution arm): run the
+        # sequential chain TWICE.  Unlike the removal arms (noscan),
+        # duplication keeps the surrounding schedule intact, so the
+        # measured delta is the chain's EXPOSED (non-overlapped) cost —
+        # if it matches the noscan delta the scan is fully serial-
+        # exposed and there is no pipeline slack to claim; ref writes
+        # are side effects, so Mosaic cannot elide the second pass
+        # (output is double-scanned: non-physical by design).
+        reps = 2 if "scan2x" in ablate else 1
         if "noscan" not in ablate:   # perf-debug (WRF_TPU_ABLATE)
-            if unroll or "unroll" in ablate:
-                # STATIC-slice unrolled sequential adds — the exact
-                # association/op sequence of the fori_loop.  Mandatory
-                # under lane tiling (pl.ds dynamic sublane indexing
-                # faults the TPU when composed with the 2-D windowed
-                # grid — tools/probe_2d_bisect.py rung h vs j) and the
-                # DEFAULT for the deep coupled kernel since the chip
-                # A/B measured it faster (CONUS S=4: 4.078 -> 4.006
-                # ms/substep, 2026-08-20); fori kept for the other
-                # kernels and as the WRF_TPU_ABLATE=unroll-free arm.
-                for k in range(k0 + 1, k1 + 1):
-                    scan_ref[:, k : k + 1, :] = (
-                        scan_ref[:, k - 1 : k, :]
-                        + scan_ref[:, k : k + 1, :])
-            else:
-                jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
+            for _ in range(reps):
+                if unroll or "unroll" in ablate:
+                    # STATIC-slice unrolled sequential adds — the exact
+                    # association/op sequence of the fori_loop.
+                    # Mandatory under lane tiling (pl.ds dynamic
+                    # sublane indexing faults the TPU when composed
+                    # with the 2-D windowed grid —
+                    # tools/probe_2d_bisect.py rung h vs j) and the
+                    # DEFAULT for the deep coupled kernel since the
+                    # chip A/B measured it faster (CONUS S=4: 4.078 ->
+                    # 4.006 ms/substep, 2026-08-20); fori kept for the
+                    # other kernels and as the WRF_TPU_ABLATE=
+                    # unroll-free arm.
+                    for k in range(k0 + 1, k1 + 1):
+                        scan_ref[:, k : k + 1, :] = (
+                            scan_ref[:, k - 1 : k, :]
+                            + scan_ref[:, k : k + 1, :])
+                else:
+                    jax.lax.fori_loop(k0 + 1, k1 + 1, scan_body, 0)
         return jnp.where(kmask_upd & mask_c, scan_ref[:], F(0.0))
 
     def theta(t_in, u, v_c, v_p, ww_new):
@@ -162,8 +174,22 @@ def _phase_helpers(*, scan_ref, roll_i, roll_k, kmask_upd, kmask_w, mask_c,
         fy = v_p * (t1_jp + t1c) - v_c * (t1c + t1_jm)
         fx = roll_i(u, -1) * (t1_ip + t1c) - u * (t1c + t1_im)
         horiz = msftx * lc(F(0.5) * rdy * fy + F(0.5) * rdx * fx)
-        return jnp.where(kmask_upd & mask_c,
+        t_new = jnp.where(kmask_upd & mask_c,
                          t_half - (dts * msfty) * (horiz + vert), t_in)
+        if "theta2x" in ablate:
+            # slack-attribution arm (see scan2x): a second full theta
+            # pass with operands swapped (same op count, same streams,
+            # different values so CSE cannot merge it), consumed
+            # through a practically-false select so DCE cannot drop it
+            # — the delta vs exact is theta's EXPOSED cost
+            wdtn2 = jnp.where(kmask_w, ww_new * rdnw3, F(0.0))
+            vert2 = interp * (roll_k(wdtn2, 1) - wdtn2)
+            fy2 = v_p * (t1_jm + t1c) - v_c * (t1c + t1_jp)
+            fx2 = roll_i(u, -1) * (t1_im + t1c) - u * (t1c + t1_ip)
+            horiz2 = msftx * lc(F(0.5) * rdx * fy2 + F(0.5) * rdy * fx2)
+            t_alt = t_half - (dts * msfty) * (horiz2 + vert2)
+            t_new = jnp.where(jnp.abs(t_alt) > F(1e30), t_alt, t_new)
+        return t_new
 
     return ww_scan, theta
 
@@ -172,7 +198,8 @@ def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
               crdn_ref, erdn_ref, roll_k, kmask_upd, kmask_w, mask_c,
               rdnw3, K, k0, k1, epssm, c_w, g_t,
               fast_solve=False, fws_ref=None, fwp_ref=None,
-              bws_ref=None, bwp_ref=None, unroll: bool = False):
+              bws_ref=None, bwp_ref=None, unroll: bool = False,
+              ablate: str = ""):
     """w_step: the fused vertically-implicit w/pp substep — column-local
     Thomas solve, pointwise in (i, j), identical to the single-step
     kernel's fuse_w block (advance_mu_t_pallas._kernel); ``scan_ref``
@@ -236,12 +263,22 @@ def _w_solver(*, scan_ref, dpw_ref, aw_ref, cpv_ref, denv_ref,
         return 0
 
     def w_step(wf, ppf, t_full):
+        if "nowstep" in ablate:      # perf-debug (WRF_TPU_ABLATE):
+            # the whole implicit substep deleted — w/pp pass through
+            # (still streamed as carried state), isolating the
+            # w-subsystem's pure stream cost
+            return wf, ppf
         w_act = jnp.where(kmask_w, wf, F(0.0))
         dvz = jnp.where(kmask_upd,
                         rdnw3 * (roll_k(w_act, -1) - w_act), F(0.0))
         rhs = (wf - crdn * (ppf - roll_k(ppf, 1))
                + erdn * (dvz - roll_k(dvz, 1)) + g_t * t_full)
-        if fast_solve:
+        if "nosolve" in ablate:      # perf-debug (WRF_TPU_ABLATE):
+            # the two sequential Thomas sweeps deleted; rhs compute,
+            # masks and the pp update all stay — the delta vs exact is
+            # the sweeps' exposed cost
+            w_sol = rhs
+        elif fast_solve:
             # scale vectors are zero outside the interior band, so the
             # cumsums see only band levels; w_sol outside the band is 0
             # and masked away below
@@ -907,7 +944,8 @@ def _coupled2_kernel(*refs, k0: int, k1: int, tj: int, fuse_w: bool,
             rdnw3=rdnw3, K=K, k0=k0, k1=k1, epssm=scal_ref[0, 4],
             c_w=scal_ref[0, 5], g_t=scal_ref[0, 6],
             fast_solve=fast_scan, fws_ref=fws_ref, fwp_ref=fwp_ref,
-            bws_ref=bws_ref, bwp_ref=bwp_ref)
+            bws_ref=bws_ref, bwp_ref=bwp_ref,
+            ablate=ablate_from_env())
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
@@ -1469,7 +1507,7 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
             c_w=scal_ref[0, 5], g_t=scal_ref[0, 6],
             fast_solve=fast_scan, fws_ref=fws_ref, fwp_ref=fwp_ref,
             bws_ref=bws_ref, bwp_ref=bwp_ref,
-            unroll=_deep_unroll(ti, fuse_w))
+            unroll=_deep_unroll(ti, fuse_w), ablate=ablate_from_env())
         w_st = w_ref[:]
         pp_st = pp_ref[:]
 
