@@ -1274,7 +1274,8 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
                        fuse_w: bool, fast_scan: bool = False,
                        ti: int | None = None, overlap: bool = False,
                        overlap_axis: str = "j",
-                       overlap_interpret: bool = False):
+                       overlap_interpret: bool = False,
+                       carry_alias: bool = False):
     S = n_inner
     it = iter(refs)
     scal_ref = next(it)   # (1, 7) f32: rdx, rdy, dts, cs2, epssm, c_w, g_t
@@ -1317,6 +1318,8 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
          rVLo_ref, rVHi_ref) = (next(it), next(it), next(it), next(it),
                                 next(it), next(it))
         ov_sems = next(it)
+    if carry_alias:
+        pu_scr, pv_scr, pmu_scr = next(it), next(it), next(it)
 
     rdx, rdy = scal_ref[0, 0], scal_ref[0, 1]
     dts, cs2 = scal_ref[0, 2], scal_ref[0, 3]
@@ -1477,6 +1480,40 @@ def _coupled_ms_kernel(*refs, k0: int, k1: int, tj: int, n_inner: int,
         mu_src = _sub_edges(mu_src, S, S, rMuLo_ref, rMuHi_ref, 0)
         u_src = _sub_edges(u_src, S - 1, S - 1, rULo_ref, rUHi_ref, 1)
         v_src = _sub_edges(v_src, S - 1, S, rVLo_ref, rVHi_ref, 1)
+    if carry_alias:
+        # u/v/mu ride input_output_aliases (in-place carried state — no
+        # fresh output buffers, no wrapper patch, and no XLA while-body
+        # carry copies, which the r05 trace measured at ~0.09
+        # ms/substep, tools/coupled_trace.py).  The price of in-place:
+        # this program's BACKWARD-extent rows may have been flushed to
+        # HBM by the previous program before this window was fetched
+        # (the fetch races the write under Mosaic's pipelining), so the
+        # fetched values there are indeterminate.  The trapezoid needs
+        # the BLOCK-START values, so on the sequential grid every
+        # program stashes the rows the NEXT program's backward extent
+        # covers — taken from its OWN cleanly-fetched rows strictly
+        # above every earlier program's write window (requires
+        # tj >= S; the wrapper gates on it) — into VMEM scratch that
+        # persists across programs, and every program but the first
+        # substitutes its backward rows from the stash.  FORWARD-extent
+        # rows are written only by later programs, so their fetched
+        # values are always the block-start ones.  Values are exactly
+        # the fresh-buffer path's (the substituted rows are the same
+        # block-start rows patch() preserved) — bit-equality is gated
+        # by the trapezoid-vs-sequential suite.
+        guard = g > 0
+
+        def _sub_stale(src, scr, lo):
+            front = jnp.where(guard, scr[:], src[:lo])
+            return jnp.concatenate([front, src[lo:]], axis=0)
+
+        new_mu = _sub_stale(mu_src, pmu_scr, S)
+        new_u = _sub_stale(u_src, pu_scr, S - 1)
+        new_v = _sub_stale(v_src, pv_scr, S - 1)
+        pmu_scr[:] = mu_src[tj : tj + S]
+        pu_scr[:] = u_src[tj : tj + S - 1]
+        pv_scr[:] = v_src[tj : tj + S - 1]
+        mu_src, u_src, v_src = new_mu, new_u, new_v
     mu_c, mu_lo = mu_src, S
     u_c, u_lo = u_src, S - 1
     v_c, v_lo = v_src, S - 1              # hi extent S (j-staggered)
@@ -1652,6 +1689,16 @@ def coupled_multistep_pallas(
                              f"edge tiles read ring rows (tj={tj}, "
                              f"S={S})")
 
+    # in-place carried state (u/v/mu aliased; kernel-side stash/
+    # substitute of the backward-extent rows): the 1-D unpermuted grid
+    # only — the overlap mode's permuted grid breaks the sequential-
+    # neighbor stash handoff, and the lane-tiled grid revisits j rows
+    # per lane tile.  tj >= S keeps every stash row above earlier
+    # programs' write windows (see the kernel comment).
+    # WRF_TPU_CARRY_ALIAS=0 is the A/B kill-switch (fresh-buffer path).
+    carry_alias = (overlap is None and ti is None and tj >= S
+                   and os.environ.get("WRF_TPU_CARRY_ALIAS", "1") != "0")
+
     const_ok = {"t_1", "tconst", "dvdxi_const"}
 
     def _ingest3(name, a):
@@ -1801,12 +1848,18 @@ def coupled_multistep_pallas(
         out_specs += [c3, c3]
         out_shape += [big, big]
     # t, w, pp and the seed row are center-read-only -> aliased; u/v/mu
-    # have backward extended views -> fresh buffers (same hazard as the
-    # S=2 kernel's module comment)
+    # have backward extended views — under ``carry_alias`` they alias
+    # in place too (the kernel's VMEM stash supplies the block-start
+    # values of the racy backward rows, see _coupled_ms_kernel);
+    # otherwise fresh buffers (the S=2 kernel's module-comment hazard)
     aliases = {4: 0, 8 + nw: 4}
     if fuse_w:
         aliases[8] = 5
         aliases[9] = 6
+    if carry_alias:
+        aliases[2] = 1           # u
+        aliases[3] = 2           # v
+        aliases[10 + nw] = 3     # mu
 
     if overlap is not None:
         # stage the width-S exchange payloads: the same interior rows
@@ -1831,7 +1884,8 @@ def coupled_multistep_pallas(
         n_inner=S, fuse_w=fuse_w, fast_scan=fast, ti=ti,
         overlap=overlap is not None,
         overlap_axis=(overlap or {}).get("axis_name", "j"),
-        overlap_interpret=interpret)
+        overlap_interpret=interpret,
+        carry_alias=carry_alias)
     if ti is None:
         grid = ((J2 - 2 * S) // tj,)
         scr_lanes = I
@@ -1847,6 +1901,10 @@ def coupled_multistep_pallas(
                     pltpu.VMEM((S, K, Ipad), F),   # recv v lo
                     pltpu.VMEM((S, K, Ipad), F),   # recv v hi
                     pltpu.SemaphoreType.DMA((12,))]
+    if carry_alias:
+        scratch += [pltpu.VMEM((S - 1, K, I), F),  # stash: u backward
+                    pltpu.VMEM((S - 1, K, I), F),  # stash: v backward
+                    pltpu.VMEM((S, 1, I), F)]      # stash: mu backward
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1875,13 +1933,19 @@ def coupled_multistep_pallas(
             out = out.at[..., hi:I].set(inp[..., hi:I])
         return out
 
-    res = {
-        "t": t_o,
-        "u": patch(u_o, d3["u"]),
-        "v": patch(v_o, d3["v"]),
-        "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)[:, :]),
-        "ww_row": wwrow_o[:, 0, :],
-    }
+    if carry_alias:
+        # in-place outputs: the unwritten ring/boundary rows retain the
+        # input's values in the SAME buffer — patch is structural there
+        res = {"t": t_o, "u": u_o, "v": v_o, "mu": mu_o[:, 0, :],
+               "ww_row": wwrow_o[:, 0, :]}
+    else:
+        res = {
+            "t": t_o,
+            "u": patch(u_o, d3["u"]),
+            "v": patch(v_o, d3["v"]),
+            "mu": patch(mu_o[:, 0, :], jnp.asarray(mu, F)[:, :]),
+            "ww_row": wwrow_o[:, 0, :],
+        }
     if fuse_w:
         res["w"], res["pp"] = outs[5], outs[6]
     return res
