@@ -90,11 +90,19 @@ def main():
             env.pop("WRF_TPU_ABLATE", None)
         import time
         t0 = time.time()
-        out = subprocess.run(
-            [sys.executable, "-c",
-             CHILD.format(here=HERE, S=S, tj=tj, fast=fast,
-                          with_w=with_w)],
-            env=env, capture_output=True, text=True, timeout=1200)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 CHILD.format(here=HERE, S=S, tj=tj, fast=fast,
+                              with_w=with_w)],
+                env=env, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            # a worker-recovery stall can eat an arm's whole budget
+            # (the health gate alone is up to 20 min) — skip the arm,
+            # keep the rest of the decomposition
+            print(f"coupled{'+w' if with_w else ''} S={S} tj={tj} "
+                  f"{name:9s}: TIMEOUT after 1800s", flush=True)
+            continue
         val = [ln for ln in out.stdout.splitlines()
                if ln.startswith("RESULT")]
         if val:
