@@ -101,27 +101,32 @@ def time_substep(mesh, tile, nz, *, steps_pair=(20, 80), repeats=8,
     return (times[n2] - times[n1]) / (n2 - n1) * 1e3
 
 
-#: measured round-3 chip records the model is built from (commit 25ec382
-#: exchange bench at the 128x128x50 local tile; BENCH_r03 coupled rows)
+#: measured chip records the model is built from — refreshed every
+#: round from the bench's stability panel (bench.stability_panel, in
+#: BENCH_r*.json) precisely because the numbers drift with the worker
+#: stack: r03 measured overlap cheapest (31.8 vs 37.1/43.3,
+#: commit 25ec382), r04 ppermute cheapest at 5x the cost
+#: (25.8/38.8/43.2), and the r05 official run measured everything
+#: another 3-5x cheaper (4.7/6.3/9.0 us, base-spread noise 0.2 us).
+#: The ORDERING (ppermute <= rdma <= overlap on a self-ring) has held
+#: since r04; the overlap backend's grid permutation only pays off
+#: when a real wire transfer hides under it, so ppermute stays the
+#: default.
 MEASURED = {
     # per-substep exchange overhead by backend, us, at the 128x128x50
     # knee — single-chip self-ring (launch/scheduling cost; wire time
-    # excluded).  NOTE the backend ordering is STACK-DEPENDENT: the
-    # round-3 run (commit 25ec382) measured overlap cheapest
-    # (31.8 vs 37.1/43.3); the round-4 re-run on the updated worker
-    # stack measured ppermute cheapest (25.8 vs 38.8/43.2,
-    # tools/bench_halo.py 2026-08-20) — the overlap backend's grid
-    # permutation costs pipeline efficiency that only a real multi-chip
-    # wire transfer can pay back, so ppermute stays the default and the
-    # model uses the round-4 numbers.
-    "exchange_us": {"ppermute": 25.8, "rdma": 38.8, "rdma_overlap": 43.2},
+    # excluded); r05 stability panel, official bench run 2026-08-21
+    "exchange_us": {"ppermute": 4.7, "rdma": 6.3, "rdma_overlap": 9.0},
     # coupled substep compute at 512x512x50, ms (S=1 unblocked / S=4
     # blocked — the blocked loop exchanges once per S substeps, so its
-    # per-substep exchange cost divides by S)
-    "coupled_ms_512": {"S1": 1.01, "S4_blocked": 0.5546},
-    "provenance": "tools/bench_halo.py self-ring 2026-08-20 (r04) + "
-                  "round-4 512^2 coupled records; round-3 ordering "
-                  "(overlap cheapest) noted as stack-dependent",
+    # per-substep exchange cost divides by S).  S4 is the r05
+    # aliased-carry record; S1 is the r04 unblocked measurement (not
+    # re-run as an official row since).
+    "coupled_ms_512": {"S1": 1.01, "S4_blocked": 0.4446},
+    "provenance": "BENCH_r05 stability panel 2026-08-21 (self-ring "
+                  "128^2 knee, noise 0.2 us) + r05 512^2 coupled "
+                  "records; exchange costs are stack-dependent — "
+                  "see the per-round panel rows in BENCH_r*.json",
 }
 
 
