@@ -292,14 +292,16 @@ def test_coupled_deep_blocked_vs_single(inner, n_steps):
 
 @pytest.mark.full
 def test_coupled_general_s2_matches_pair_kernel():
-    """At S=2 the generalized kernel (forced via env) agrees with the
-    hand-unrolled pair kernel within the sequential-path tolerance."""
+    """At S=2 the generalized kernel (the r05 DEFAULT — its aliased
+    carry beats the pair kernel ~1.7x on chip) agrees with the
+    hand-unrolled pair kernel (WRF_TPU_COUPLED_GENERAL=0, kept for
+    A/B) within the sequential-path tolerance."""
     nx, ny, nz = 40, 30, 12
     case = fixtures.make_case(nx, ny, nz, halo=3, seed=7)
-    pair = _run_coupled(case, nx, ny, nz, 9, 2)
-    os.environ["WRF_TPU_COUPLED_GENERAL"] = "1"
+    gen = _run_coupled(case, nx, ny, nz, 9, 2)
+    os.environ["WRF_TPU_COUPLED_GENERAL"] = "0"
     try:
-        gen = _run_coupled(case, nx, ny, nz, 9, 2)
+        pair = _run_coupled(case, nx, ny, nz, 9, 2)
     finally:
         del os.environ["WRF_TPU_COUPLED_GENERAL"]
     for k in sorted(pair):

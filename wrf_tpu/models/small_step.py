@@ -599,14 +599,21 @@ class SmallStepLoop:
                         st[n2] = x
                     return st
 
-                # the hand-unrolled pair kernel serves S=2 (its chip
-                # calibration); the depth-S kernel everything deeper —
-                # WRF_TPU_COUPLED_GENERAL=1 forces it at S=2 for A/B
+                # the generalized depth-S kernel is the DEFAULT at
+                # every depth since r05: its aliased in-place carry
+                # (coupled_multistep_pallas carry_alias) beats the
+                # hand-unrolled S=2 pair kernel by ~1.7x on chip
+                # (0.56 vs 0.94 ms/substep at 512^2 tj=12,
+                # 2026-08-21) — the pair kernel's r03 calibration
+                # predates the carry-copy fix and it still pays the
+                # fresh-buffer patch.  WRF_TPU_COUPLED_GENERAL=0
+                # restores the pair kernel for A/B.
                 blk_overlap = (halo_backend == "rdma_overlap"
                                and (j_sh or force_exchange))
                 use_general = (S > 2 or ti is not None or blk_overlap
                                or os.environ.get(
-                                   "WRF_TPU_COUPLED_GENERAL") == "1")
+                                   "WRF_TPU_COUPLED_GENERAL", "1")
+                               != "0")
                 if blk_overlap:
                     # in-kernel exchange substitutes ring rows at the
                     # two edge tiles only: zero row padding (tj divides
