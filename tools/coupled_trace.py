@@ -61,11 +61,13 @@ def _fields(buf):
 
 
 def summarize_xspace(path):
-    """{(plane, line): {event_name: total_ps}} from an xplane.pb file.
+    """{(plane, line): {event_name: (total_ps, count)}} from an
+    xplane.pb file.
 
+    Field numbers confirmed against this stack's traces (2026-08-20):
     XSpace: planes=1; XPlane: name=2 lines=3 event_metadata=4;
-    XLine: name=3/display_name=4 events=7; XEvent: metadata_id=1
-    duration_ps=3; XEventMetadata (map value): id=1 name=2."""
+    XLine: id=1 name=2 events=4; XEvent: metadata_id=1 offset_ps=2
+    duration_ps=3 stats=4; XEventMetadata (map value): id=1 name=2."""
     space = open(path, "rb").read()
     out = {}
     for fno, _, plane in _fields(space):
@@ -93,37 +95,52 @@ def summarize_xspace(path):
                 if k is not None:
                     meta[k] = mname
         for line in lines:
-            lname, events = "", defaultdict(int)
+            lname, events = "", defaultdict(lambda: [0, 0])
             for f3, wt3, v3 in _fields(line):
-                if f3 in (3, 4) and wt3 == 2:
+                if f3 == 2 and wt3 == 2:
                     lname = v3.decode("utf-8", "replace")
-                elif f3 == 7:
+                elif f3 == 4 and wt3 == 2:
                     mid = dur = 0
                     for f4, _, v4 in _fields(v3):
                         if f4 == 1:
                             mid = v4
                         elif f4 == 3:
                             dur = v4
-                    events[meta.get(mid, f"#{mid}")] += dur
+                    ev = events[meta.get(mid, f"#{mid}")]
+                    ev[0] += dur
+                    ev[1] += 1
             if events:
-                out[(pname, lname)] = dict(events)
+                out[(pname, lname)] = {k: tuple(v)
+                                       for k, v in events.items()}
     return out
 
 
-def report(space_summary, top=12):
+def report(space_summary, top=14):
     for (plane, line), events in sorted(space_summary.items()):
-        total_us = sum(events.values()) / 1e6
+        total_us = sum(ps for ps, _ in events.values()) / 1e6
         print(f"\n== plane {plane!r} line {line!r}: "
               f"{total_us:.1f} us total busy ==")
-        for name, ps in sorted(events.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"  {ps/1e6:10.1f} us  {name[:90]}")
+        for name, (ps, n) in sorted(events.items(),
+                                    key=lambda kv: -kv[1][0])[:top]:
+            print(f"  {ps/1e6:10.1f} us  x{n:<6d} {name[:84]}")
 
 
 def main():
-    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
-    S = int(pos[0]) if pos else 4
-    tj = int(pos[1]) if len(pos) > 1 else 12
-    steps = 40
+    argv = sys.argv[1:]
+    pos = []
+    skip = False
+    for i, a in enumerate(argv):
+        if skip:
+            skip = False
+            continue
+        if a in ("--steps", "--dir"):
+            skip = True
+        elif not a.startswith("-"):
+            pos.append(a)
+    mu_only = "--mu-only" in sys.argv
+    S = int(pos[0]) if pos else (8 if mu_only else 4)
+    tj = int(pos[1]) if len(pos) > 1 else (None if mu_only else 12)
+    steps = 40 if not mu_only else 81
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
     out_dir = "/tmp/wrf_tpu_trace"
@@ -137,7 +154,7 @@ def main():
     from wrf_tpu.io import fixtures
     from wrf_tpu.models.small_step import SmallStepLoop
     from wrf_tpu.parallel.mesh import make_mesh
-    from wrf_tpu.parallel.sharded import case_to_domain
+    from wrf_tpu.parallel.sharded import ShardedAdvanceMuT, case_to_domain
     from wrf_tpu.utils.health import wait_healthy_inline
 
     wait_healthy_inline()
@@ -145,8 +162,14 @@ def main():
     nx = ny = 512
     nz = 50
     case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
-    loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
-                         inner_steps=S, tj=tj)
+    if mu_only:
+        # the bench HEADLINE row: exact blocked mu_t-only loop
+        loop = ShardedAdvanceMuT(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, vary_winds=True,
+                                 inner_steps=S, tj=tj)
+    else:
+        loop = SmallStepLoop(mesh, nx, ny, nz, case.flags, n_steps=steps,
+                             inner_steps=S, tj=tj)
     arrays = loop.prepare(case_to_domain(case))
     scalars = (case.rdx, case.rdy, case.dts, case.epssm)
 
