@@ -627,3 +627,37 @@ def test_coupled_blocked_fast_scan():
         scale = max(float(np.max(np.abs(a))), 1.0)
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("inner,tj", [
+    (3, 3),   # tj == S: stash rows sit exactly on earlier write-window
+              # boundaries (the carry_alias gate's edge)
+    (3, 2),   # tj < S: carry_alias disabled -> fresh-buffer patch path
+])
+def test_coupled_carry_alias_tile_boundaries(inner, tj):
+    """The aliased in-place carry (r05, coupled_multistep_pallas
+    carry_alias) at its gating boundaries must stay tolerance-equal to
+    the single-step scan: tj == S is the tightest legal stash layout,
+    tj < S falls back to the fresh-buffer patch path."""
+    nx, ny, nz = 24, 18, 10
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=9)
+    ref = _run_coupled(case, nx, ny, nz, 7, 1)
+    blk = _run_coupled(case, nx, ny, nz, 7, inner, tj=tj)
+    for k in sorted(ref):
+        a, b = np.asarray(ref[k]), np.asarray(blk[k])
+        scale = max(float(np.max(np.abs(a))), 1.0)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6 * scale,
+                                   err_msg=k)
+
+
+def test_coupled_carry_alias_kill_switch_bit_equal(monkeypatch):
+    """WRF_TPU_CARRY_ALIAS=0 (fresh-buffer path) must be BIT-equal to
+    the aliased default — same adds in the same order, only the
+    buffering differs.  Interpret-mode equality here; the compiled
+    hardware equality is tools/chip_checks.py's carry-alias check."""
+    aliased = _run_quick(3)
+    monkeypatch.setenv("WRF_TPU_CARRY_ALIAS", "0")
+    fresh = _run_coupled(_quick_case(), _QNX, _QNY, _QNZ, _QSTEPS, 3)
+    for k in sorted(aliased):
+        np.testing.assert_array_equal(np.asarray(fresh[k]),
+                                      np.asarray(aliased[k]), err_msg=k)

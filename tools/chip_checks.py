@@ -117,6 +117,33 @@ def deep_blocked_tolerance(nx, ny, nz, steps=9, inner=4, with_w=False,
                                    err_msg=k)
 
 
+def carry_alias_bit_equal(nx=512, ny=64, nz=50, steps=9, inner=4,
+                          tj=12):
+    # dims match the battery's deep_blocked_tolerance wide-lane check —
+    # proven on this stack; an untested shape here cost a worker fault
+    # (2026-08-21: 256x64x50 crashed the compile helper)
+    import os
+
+    from wrf_tpu.models.small_step import SmallStepLoop
+
+    case = fixtures.make_case(nx, ny, nz, halo=3, seed=42)
+    mesh = make_mesh([jax.devices()[0]], (1, 1))
+    outs = {}
+    for alias in ("1", "0"):
+        os.environ["WRF_TPU_CARRY_ALIAS"] = alias
+        try:
+            loop = SmallStepLoop(mesh, nx, ny, nz, case.flags,
+                                 n_steps=steps, inner_steps=inner, tj=tj)
+            arrays = loop.prepare(case_to_domain(case))
+            out = loop(arrays, case.rdx, case.rdy, case.dts, case.epssm)
+            outs[alias] = {k: np.asarray(v) for k, v in out.items()}
+        finally:
+            os.environ.pop("WRF_TPU_CARRY_ALIAS", None)
+    for k in outs["1"]:
+        np.testing.assert_array_equal(outs["1"][k], outs["0"][k],
+                                      err_msg=k)
+
+
 def main():
     mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1), ("j",))
     mesh2 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("j", "i"))
@@ -177,6 +204,13 @@ def main():
     check("2-D lane-tiled trapezoid S=4 ti=256 +w (640x48x20)",
           lambda: deep_blocked_tolerance(640, 48, 20, inner=4, ti=256,
                                          with_w=True))
+    # round-5: the aliased in-place carry (carry_alias) must be
+    # BIT-equal to the fresh-buffer path ON HARDWARE — this is the
+    # check that would catch the backward-row race if a future Mosaic
+    # changes its fetch/flush ordering (same adds, only buffering
+    # differs; WRF_TPU_CARRY_ALIAS=0 is the fresh path)
+    check("aliased carry == fresh buffers, compiled bit-equal "
+          "(512x64x50, S=4, tj=12)", carry_alias_bit_equal)
     print("FAILURES:", FAILURES)
     return 1 if FAILURES else 0
 
