@@ -121,8 +121,11 @@ SPECS = [
     # opt-in reduced-precision constant streams (state/outputs f32)
     ("mu_t 512x512x50 bf16-const",
      512, 512, 50, False, False, True, 8, (50, 250), None),
+    # tj=12 matches the exact coupled row's aliased-carry pick: the
+    # tj=None default (6, the un-raised VMEM budget) predates the r05
+    # carry fix; chip A/B 2026-08-21: 0.434 (tj=12) vs 0.454 (tj=6)
     ("coupled 512x512x50 bf16-const",
-     512, 512, 50, True, False, True, 4, (50, 250), None),
+     512, 512, 50, True, False, True, 4, (50, 250), 12),
 ]
 
 
